@@ -1,0 +1,199 @@
+"""Vectorized BVH traversal (the TPU replacement for RT cores).
+
+One `lax.while_loop` advances ALL rays in lock-step: each lane holds a
+single node pointer into the skip-link BVH (``accel.build``), so an
+iteration is (gather node AABB) -> (slab test) -> (masked leaf triangle
+tests) -> (select next pointer).  No stack, no data-dependent shapes —
+everything is (R,)-wide VPU work + HBM gathers, which is the idiomatic
+XLA mapping of the reference's ``owl::traceRay`` (deviceCode.cu:76).
+
+Two entry points:
+* :func:`trace_closest` — closest-hit, fills a :class:`core.types.Hit`;
+* :func:`trace_any` — shadow/visibility variant with early termination.
+
+A brute-force O(R*T) oracle (:func:`intersect_brute`) validates both.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Hit, Ray
+from .build import BVH
+
+LEAF_SIZE = 4  # must match accel.build leaf_size default
+_INF = jnp.float32(3.0e38)
+
+
+def _moller_trumbore(o, d, v0, e1, e2, t_min, t_max):
+    """Batched no-cull Möller-Trumbore; returns (hit, t, u, v).
+
+    No backface culling, matching OptiX defaults in the reference (no
+    OPTIX_RAY_FLAG_CULL_* anywhere in the device code).
+    """
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) >= 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return hit, t, u, v
+
+
+def _slab_test(o, inv_d, bmin, bmax, t_min, t_max):
+    """Ray-AABB slab test; inv_d precomputed (inf components are fine)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    near = jnp.minimum(t0, t1)
+    far = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(near, axis=-1), t_min)
+    t_far = jnp.minimum(jnp.min(far, axis=-1), t_max)
+    return t_near <= t_far
+
+
+def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) -> Hit:
+    """Closest-hit traversal over a ray batch. Returns Hit in ORIGINAL tri ids."""
+    o = rays.origin
+    d = rays.direction
+    n_nodes = bvh.num_nodes
+    R = o.shape[0]
+
+    safe_d = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv_d = 1.0 / safe_d
+
+    def cond(state):
+        node, _, _, _, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, t, tri, bu, bv = state
+        active = node < n_nodes
+        idx = jnp.where(active, node, 0)
+
+        bmin = bvh.node_min[idx]
+        bmax = bvh.node_max[idx]
+        hit_aabb = active & _slab_test(o, inv_d, bmin, bmax, t_min, t)
+
+        count = bvh.node_tri_count[idx]
+        offset = bvh.node_tri_offset[idx]
+        is_leaf = count > 0
+
+        test_leaf = hit_aabb & is_leaf
+        for k in range(LEAF_SIZE):
+            valid = test_leaf & (k < count)
+            tid = jnp.where(valid, offset + k, 0)
+            h, tk, uk, vk = _moller_trumbore(
+                o, d, bvh.tri_v0[tid], bvh.tri_e1[tid], bvh.tri_e2[tid], t_min, t
+            )
+            closer = valid & h
+            t = jnp.where(closer, tk, t)
+            tri = jnp.where(closer, bvh.prim_id[tid], tri)
+            bu = jnp.where(closer, uk, bu)
+            bv = jnp.where(closer, vk, bv)
+
+        descend = hit_aabb & ~is_leaf
+        nxt = jnp.where(descend, idx + 1, bvh.node_skip[idx])
+        node = jnp.where(active, nxt, node)
+        return node, t, tri, bu, bv
+
+    node0 = jnp.zeros((R,), jnp.int32)
+    t0 = jnp.full((R,), t_max, jnp.float32)
+    tri0 = jnp.full((R,), -1, jnp.int32)
+    z = jnp.zeros((R,), jnp.float32)
+    node, t, tri, bu, bv = jax.lax.while_loop(cond, body, (node0, t0, tri0, z, z))
+    return Hit(t=t, tri_id=tri, bary_u=bu, bary_v=bv)
+
+
+def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
+    """Visibility query: True where ANY hit exists in (t_min, t_max).
+
+    Early-out: a lane that finds an occluder jumps straight to the
+    sentinel. t_max may be per-ray (R,) — used for shadow rays toward a
+    sampled light point.
+    """
+    o = rays.origin
+    d = rays.direction
+    n_nodes = bvh.num_nodes
+    R = o.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    safe_d = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv_d = 1.0 / safe_d
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, occluded = state
+        active = node < n_nodes
+        idx = jnp.where(active, node, 0)
+
+        hit_aabb = active & _slab_test(o, inv_d, bvh.node_min[idx], bvh.node_max[idx], t_min, t_max)
+        count = bvh.node_tri_count[idx]
+        offset = bvh.node_tri_offset[idx]
+        is_leaf = count > 0
+
+        found = jnp.zeros_like(occluded)
+        test_leaf = hit_aabb & is_leaf
+        for k in range(LEAF_SIZE):
+            valid = test_leaf & (k < count)
+            tid = jnp.where(valid, offset + k, 0)
+            h, _, _, _ = _moller_trumbore(
+                o, d, bvh.tri_v0[tid], bvh.tri_e1[tid], bvh.tri_e2[tid], t_min, t_max
+            )
+            found = found | (valid & h)
+
+        occluded = occluded | found
+        descend = hit_aabb & ~is_leaf & ~occluded
+        nxt = jnp.where(descend, idx + 1, bvh.node_skip[idx])
+        nxt = jnp.where(found, n_nodes, nxt)  # early out
+        node = jnp.where(active, nxt, node)
+        return node, occluded
+
+    node0 = jnp.zeros((R,), jnp.int32)
+    occ0 = jnp.zeros((R,), jnp.bool_)
+    _, occluded = jax.lax.while_loop(cond, body, (node0, occ0))
+    return occluded
+
+
+def intersect_brute(tri_verts: jnp.ndarray, rays: Ray, t_min: float = 0.0, t_max: float = _INF) -> Hit:
+    """O(R*T) oracle: scan over all triangles with lax.fori_loop.
+
+    tri_verts: (T, 3, 3). Ground truth for traversal tests (SURVEY.md §7.2
+    step 3) and tiny scenes.
+    """
+    o = rays.origin
+    d = rays.direction
+    R = o.shape[0]
+    v0 = tri_verts[:, 0]
+    e1 = tri_verts[:, 1] - v0
+    e2 = tri_verts[:, 2] - v0
+    T = tri_verts.shape[0]
+
+    def body(i, state):
+        t, tri, bu, bv = state
+        h, tk, uk, vk = _moller_trumbore(o, d, v0[i], e1[i], e2[i], t_min, t)
+        closer = h
+        t = jnp.where(closer, tk, t)
+        tri = jnp.where(closer, i, tri)
+        bu = jnp.where(closer, uk, bu)
+        bv = jnp.where(closer, vk, bv)
+        return t, tri, bu, bv
+
+    t0 = jnp.full((R,), t_max, jnp.float32)
+    tri0 = jnp.full((R,), -1, jnp.int32)
+    z = jnp.zeros((R,), jnp.float32)
+    t, tri, bu, bv = jax.lax.fori_loop(0, T, body, (t0, tri0, z, z))
+    return Hit(t=t, tri_id=tri, bary_u=bu, bary_v=bv)
