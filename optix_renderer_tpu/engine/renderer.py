@@ -1,0 +1,175 @@
+"""Progressive renderer: per-mode jitted frame functions + accumulation.
+
+The reference's megakernel raygen switch (cuda_src/deviceCode.cu:59-175)
+becomes one jitted frame function per mode family, sharing the
+trace/shade stages.  Accumulation semantics are identical: each frame adds
+its color into ``accum`` and the display image divides by the frame count
+(deviceCode.cu:158-174).  The state pytree is donated so accumulation is
+in-place on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import BVH, build_bvh
+from ..core import rng as rnglib
+from ..core.types import Camera, GBuffers, RenderState
+from ..scene.config import Scene, SceneCamera
+from ..scene.device import DeviceScene, build_device_scene
+from . import camera as cameralib
+from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
+from .shade import build_surface_interaction
+
+
+def make_frame_fn(mode: RendererType, width: int, height: int, path_depth: int = 10, ratio_samples: int = 4):
+    """Build the per-frame function for a mode (mode/shape are static).
+
+    Returns ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where
+    ``aux`` is a dict of extra per-mode buffers (ratio estimator outputs,
+    deviceCode.cu:117-144).
+    """
+    n = width * height
+
+    def frame(state: RenderState, ds: DeviceScene, bvh: BVH):
+        from ..accel.traverse import trace_closest
+
+        accum_id = state.accum_id
+        lin = jnp.arange(n, dtype=jnp.uint32)
+        # get_rng(accumId + 10007, pixel, dims) — deviceCode.cu:65-66
+        rstate = rnglib.make_rng(accum_id + 10007, lin)
+        rstate, ju = rnglib.lcg_randomf(rstate)
+        rstate, jv = rnglib.lcg_randomf(rstate)
+        rays = cameralib.primary_rays(state.camera, width, height, ju, jv)
+        hit = trace_closest(bvh, rays)
+        si = build_surface_interaction(ds, rays, hit)
+
+        aux: dict[str, jnp.ndarray] = {}
+        if mode in GBUFFER_MODES:
+            from ..integrators.gbuffer import gbuffer_color
+
+            color = gbuffer_color(mode, si, ds.miss_color)
+        elif mode == RendererType.LTC_BASELINE:
+            from ..integrators.ltc_direct import ltc_baseline_color
+
+            color = ltc_baseline_color(ds, rays, si)
+        elif mode == RendererType.PATH:
+            from ..integrators.path import path_color
+
+            color, rstate = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
+        elif mode == RendererType.RATIO:
+            from ..integrators.ratio import ratio_color
+
+            color, rstate, aux = ratio_color(
+                ds, bvh, rays, si, rstate, n_samples=ratio_samples
+            )
+            aux = {k: v.reshape(height, width, -1) for k, v in aux.items()}
+        else:
+            raise NotImplementedError(f"mode {mode}")
+
+        accum = state.accum + color.reshape(height, width, 3)
+        gb = GBuffers(
+            position=si.p.reshape(height, width, 3),
+            normal=si.n_geom.reshape(height, width, 3),
+            albedo=si.diffuse.reshape(height, width, 3),
+            alpha=si.alpha.reshape(height, width),
+            uv=si.uv.reshape(height, width, 2),
+            material_id=si.material_id.astype(jnp.float32).reshape(height, width),
+        )
+        new_state = RenderState(accum=accum, accum_id=accum_id + 1, camera=state.camera)
+        return new_state, gb, aux
+
+    return frame
+
+
+class Renderer:
+    """Owns device arrays and the render loop (include/viewer.hpp's role,
+    without the GLFW/ImGui shell — interactive view is postprocess/io's
+    PNG path or an external viewer)."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        width: int | None = None,
+        height: int | None = None,
+        mode: RendererType = RendererType.PATH,
+        miss_color=(0.0, 0.0, 0.0),
+        path_depth: int = 10,
+        ratio_samples: int = 4,
+        leaf_size: int = 4,
+    ):
+        self.scene = scene
+        self.width = int(width or scene.img_width)
+        self.height = int(height or scene.img_height)
+        self.mode = RendererType(mode)
+        self.path_depth = path_depth
+        self.ratio_samples = ratio_samples
+
+        self.device_scene = build_device_scene(scene, miss_color=miss_color)
+        tri_verts = np.asarray(self.device_scene.vertices)[np.asarray(self.device_scene.tri_index)]
+        self.bvh = build_bvh(tri_verts, leaf_size=leaf_size)
+
+        self._frame = jax.jit(
+            make_frame_fn(self.mode, self.width, self.height, path_depth, ratio_samples),
+            donate_argnums=(0,),
+        )
+        self.state: RenderState = None  # set by set_camera
+        self.gbuffers: GBuffers | None = None
+        self.aux: dict[str, jnp.ndarray] = {}
+        self.set_camera(scene.cameras[0])
+
+    # -- camera ----------------------------------------------------------
+    def set_camera(self, cam: SceneCamera) -> None:
+        """Reset accumulation and rebuild the basis (viewer.hpp:621-657)."""
+        device_cam = cameralib.camera_from_lookat(
+            cam.from_, cam.at, cam.up, cam.cos_fovy, self.width, self.height
+        )
+        self.state = RenderState(
+            accum=jnp.zeros((self.height, self.width, 3), jnp.float32),
+            accum_id=jnp.asarray(0, jnp.int32),
+            camera=device_cam,
+        )
+
+    # -- render loop ------------------------------------------------------
+    def render(self, n_frames: int = 1) -> None:
+        """Advance progressive accumulation by n_frames launches."""
+        for _ in range(n_frames):
+            if self.mode in DETERMINISTIC_MODES and int(self.state.accum_id) >= 1:
+                return  # analytic modes converge in one frame (SURVEY §2.9 #12)
+            self.state, self.gbuffers, self.aux = self._frame(
+                self.state, self.device_scene, self.bvh
+            )
+
+    def image(self) -> np.ndarray:
+        """Displayed image: accum / frame count (deviceCode.cu:172)."""
+        count = max(int(self.state.accum_id), 1)
+        return np.asarray(self.state.accum) / count
+
+    # -- checkpoint / resume (SURVEY §5) -----------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            accum=np.asarray(self.state.accum),
+            accum_id=int(self.state.accum_id),
+            cam_pos=np.asarray(self.state.camera.pos),
+            cam_dir_00=np.asarray(self.state.camera.dir_00),
+            cam_dir_du=np.asarray(self.state.camera.dir_du),
+            cam_dir_dv=np.asarray(self.state.camera.dir_dv),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        z = np.load(path)
+        self.state = RenderState(
+            accum=jnp.asarray(z["accum"]),
+            accum_id=jnp.asarray(int(z["accum_id"]), jnp.int32),
+            camera=Camera(
+                pos=jnp.asarray(z["cam_pos"]),
+                dir_00=jnp.asarray(z["cam_dir_00"]),
+                dir_du=jnp.asarray(z["cam_dir_du"]),
+                dir_dv=jnp.asarray(z["cam_dir_dv"]),
+            ),
+        )
