@@ -17,13 +17,14 @@ A brute-force O(R*T) oracle (:func:`intersect_brute`) validates both.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.types import Hit, Ray
 from .build import BVH
 
 LEAF_SIZE = 4  # must match accel.build leaf_size default
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)  # np, not jnp: device module constants get hoisted as executable inputs
 
 
 def _moller_trumbore(o, d, v0, e1, e2, t_min, t_max):

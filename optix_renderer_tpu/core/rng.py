@@ -16,29 +16,33 @@ not bit-comparable); it remains available elsewhere for non-replay use.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_LCG_A = jnp.uint32(1664525)  # lcg_random.cuh:43
-_LCG_C = jnp.uint32(1013904223)  # lcg_random.cuh:44
+# numpy (host) constants: module-level jnp arrays become hoisted
+# executable inputs in this jax build and break steady-state dispatch;
+# np scalars are baked into the HLO as literals.
+_LCG_A = np.uint32(1664525)  # lcg_random.cuh:43
+_LCG_C = np.uint32(1013904223)  # lcg_random.cuh:44
 
 
 def murmur_hash3_mix(hash_: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """MurmurHash3 mix round (lcg_random.cuh:11-28), uint32 batched."""
-    c1 = jnp.uint32(0xCC9E2D51)
-    c2 = jnp.uint32(0x1B873593)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
     k = (k * c1).astype(jnp.uint32)
     k = (k << 15) | (k >> 17)
     k = (k * c2).astype(jnp.uint32)
     hash_ = hash_ ^ k
     hash_ = (hash_ << 13) | (hash_ >> 19)
-    return (hash_ * jnp.uint32(5) + jnp.uint32(0xE6546B64)).astype(jnp.uint32)
+    return (hash_ * np.uint32(5) + np.uint32(0xE6546B64)).astype(jnp.uint32)
 
 
 def murmur_hash3_finalize(hash_: jnp.ndarray) -> jnp.ndarray:
     """MurmurHash3 finalizer (lcg_random.cuh:30-39)."""
     hash_ = hash_ ^ (hash_ >> 16)
-    hash_ = (hash_ * jnp.uint32(0x85EBCA6B)).astype(jnp.uint32)
+    hash_ = (hash_ * np.uint32(0x85EBCA6B)).astype(jnp.uint32)
     hash_ = hash_ ^ (hash_ >> 13)
-    hash_ = (hash_ * jnp.uint32(0xC2B2AE35)).astype(jnp.uint32)
+    hash_ = (hash_ * np.uint32(0xC2B2AE35)).astype(jnp.uint32)
     return hash_ ^ (hash_ >> 16)
 
 

@@ -26,64 +26,104 @@ from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
 from .shade import build_surface_interaction
 
 
-def make_frame_fn(mode: RendererType, width: int, height: int, path_depth: int = 10, ratio_samples: int = 4):
-    """Build the per-frame function for a mode (mode/shape are static).
+def _frame_impl(
+    state: RenderState,
+    ds: DeviceScene,
+    bvh: BVH,
+    *,
+    mode: RendererType,
+    width: int,
+    height: int,
+    path_depth: int,
+    ratio_samples: int,
+):
+    """One frame: rays -> trace -> shade -> integrate -> accumulate.
 
-    Returns ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where
-    ``aux`` is a dict of extra per-mode buffers (ratio estimator outputs,
-    deviceCode.cu:117-144).
+    ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where ``aux`` is a
+    dict of extra per-mode buffers (ratio estimator outputs,
+    deviceCode.cu:117-144).  mode/shape parameters are jit-static.
     """
+    from ..accel.traverse import trace_closest
+
     n = width * height
 
-    def frame(state: RenderState, ds: DeviceScene, bvh: BVH):
-        from ..accel.traverse import trace_closest
 
-        accum_id = state.accum_id
-        lin = jnp.arange(n, dtype=jnp.uint32)
-        # get_rng(accumId + 10007, pixel, dims) — deviceCode.cu:65-66
-        rstate = rnglib.make_rng(accum_id + 10007, lin)
-        rstate, ju = rnglib.lcg_randomf(rstate)
-        rstate, jv = rnglib.lcg_randomf(rstate)
-        rays = cameralib.primary_rays(state.camera, width, height, ju, jv)
-        hit = trace_closest(bvh, rays)
-        si = build_surface_interaction(ds, rays, hit)
+    accum_id = state.accum_id
+    lin = jnp.arange(n, dtype=jnp.uint32)
+    # get_rng(accumId + 10007, pixel, dims) — deviceCode.cu:65-66
+    rstate = rnglib.make_rng(accum_id + 10007, lin)
+    rstate, ju = rnglib.lcg_randomf(rstate)
+    rstate, jv = rnglib.lcg_randomf(rstate)
+    rays = cameralib.primary_rays(state.camera, width, height, ju, jv)
+    hit = trace_closest(bvh, rays)
+    si = build_surface_interaction(ds, rays, hit)
 
-        aux: dict[str, jnp.ndarray] = {}
-        if mode in GBUFFER_MODES:
-            from ..integrators.gbuffer import gbuffer_color
+    aux: dict[str, jnp.ndarray] = {}
+    if mode in GBUFFER_MODES:
+        from ..integrators.gbuffer import gbuffer_color
 
-            color = gbuffer_color(mode, si, ds.miss_color)
-        elif mode == RendererType.LTC_BASELINE:
-            from ..integrators.ltc_direct import ltc_baseline_color
+        color = gbuffer_color(mode, si, ds.miss_color)
+    elif mode == RendererType.LTC_BASELINE:
+        from ..integrators.ltc_direct import ltc_baseline_color
 
-            color = ltc_baseline_color(ds, rays, si)
-        elif mode == RendererType.PATH:
-            from ..integrators.path import path_color
+        color = ltc_baseline_color(ds, rays, si)
+    elif mode == RendererType.PATH:
+        from ..integrators.path import path_color
 
-            color, rstate = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
-        elif mode == RendererType.RATIO:
-            from ..integrators.ratio import ratio_color
+        color, rstate = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
+    elif mode == RendererType.RATIO:
+        from ..integrators.ratio import ratio_color
 
-            color, rstate, aux = ratio_color(
-                ds, bvh, rays, si, rstate, n_samples=ratio_samples
-            )
-            aux = {k: v.reshape(height, width, -1) for k, v in aux.items()}
-        else:
-            raise NotImplementedError(f"mode {mode}")
-
-        accum = state.accum + color.reshape(height, width, 3)
-        gb = GBuffers(
-            position=si.p.reshape(height, width, 3),
-            normal=si.n_geom.reshape(height, width, 3),
-            albedo=si.diffuse.reshape(height, width, 3),
-            alpha=si.alpha.reshape(height, width),
-            uv=si.uv.reshape(height, width, 2),
-            material_id=si.material_id.astype(jnp.float32).reshape(height, width),
+        color, rstate, aux = ratio_color(
+            ds, bvh, rays, si, rstate, n_samples=ratio_samples
         )
-        new_state = RenderState(accum=accum, accum_id=accum_id + 1, camera=state.camera)
-        return new_state, gb, aux
+        aux = {k: v.reshape(height, width, -1) for k, v in aux.items()}
+    else:
+        raise NotImplementedError(f"mode {mode}")
 
-    return frame
+    accum = state.accum + color.reshape(height, width, 3)
+    gb = GBuffers(
+        position=si.p.reshape(height, width, 3),
+        normal=si.n_geom.reshape(height, width, 3),
+        albedo=si.diffuse.reshape(height, width, 3),
+        alpha=si.alpha.reshape(height, width),
+        uv=si.uv.reshape(height, width, 2),
+        material_id=si.material_id.astype(jnp.float32).reshape(height, width),
+    )
+    new_state = RenderState(accum=accum, accum_id=accum_id + 1, camera=state.camera)
+    return new_state, gb, aux
+
+
+
+# A single pjit object for ALL configurations, with the mode/shape
+# parameters as jit-static kwargs.  Using one jit object matters: multiple
+# jax.jit wrappers around closures/partials sharing the same __code__
+# mis-dispatch on the C++ fastpath (the second renderer's steady-state
+# call picks up the first one's executable and fails with a buffer-count
+# mismatch).  One pjit object keys its cache on the static args correctly.
+_frame_jit = jax.jit(
+    _frame_impl,
+    static_argnames=("mode", "width", "height", "path_depth", "ratio_samples"),
+    # keep_unused: jaxlib 0.9's pjit fastpath caches the pruned-argument
+    # list across static-arg configs; with pruning enabled the second
+    # steady-state call of a new config supplies the previous config's
+    # argument subset ("Execution supplied 35 buffers but compiled program
+    # expected 41"). Disabling pruning makes every config's calling
+    # convention identical.
+    keep_unused=True,
+    donate_argnums=(0,),
+)
+
+
+def _jitted_frame_fn(mode: RendererType, width: int, height: int, path_depth: int, ratio_samples: int):
+    return functools.partial(
+        _frame_jit,
+        mode=mode,
+        width=width,
+        height=height,
+        path_depth=path_depth,
+        ratio_samples=ratio_samples,
+    )
 
 
 class Renderer:
@@ -113,9 +153,8 @@ class Renderer:
         tri_verts = np.asarray(self.device_scene.vertices)[np.asarray(self.device_scene.tri_index)]
         self.bvh = build_bvh(tri_verts, leaf_size=leaf_size)
 
-        self._frame = jax.jit(
-            make_frame_fn(self.mode, self.width, self.height, path_depth, ratio_samples),
-            donate_argnums=(0,),
+        self._frame = _jitted_frame_fn(
+            self.mode, self.width, self.height, path_depth, ratio_samples
         )
         self.state: RenderState = None  # set by set_camera
         self.gbuffers: GBuffers | None = None

@@ -15,15 +15,17 @@ from ..core import math as cm
 from .ltc_tables import LTC_ISO_1, LTC_ISO_2, LTC_ISO_3
 from .polygon_clip import clip_polygon
 
-_LTC1 = jnp.asarray(LTC_ISO_1)
-_LTC2 = jnp.asarray(LTC_ISO_2)
-_LTC3 = jnp.asarray(LTC_ISO_3)
+# numpy module constants (not jnp) — see engine.renderer on hoisting
+_LTC1 = LTC_ISO_1
+_LTC2 = LTC_ISO_2
+_LTC3 = LTC_ISO_3
 
 
 def _bilinear_8x8(table: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """CUDA tex2D LINEAR+CLAMP on an (8, 8, 4) table; x = column coord in
     [0,1], y = row coord (viewer.hpp:322-327 semantics; texel centers at
     (i + 0.5) / 8)."""
+    table = jnp.asarray(table)  # np constant -> jaxpr literal at trace time
     fx = x * 8.0 - 0.5
     fy = y * 8.0 - 0.5
     x0 = jnp.floor(fx)

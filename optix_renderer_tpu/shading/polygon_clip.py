@@ -79,10 +79,12 @@ for _mask, (_vc, _slots) in _CASES.items():
         _A[_mask, _j] = _a
         _B[_mask, _j] = _b
 
-VC_TABLE = jnp.asarray(_VC)
-OP_TABLE = jnp.asarray(_OP)
-A_TABLE = jnp.asarray(_A)
-B_TABLE = jnp.asarray(_B)
+# numpy module constants (not jnp): device-resident module constants
+# become hoisted executable inputs in this jax build (see engine.renderer).
+VC_TABLE = _VC
+OP_TABLE = _OP
+A_TABLE = _A
+B_TABLE = _B
 
 
 def iz0(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -116,10 +118,10 @@ def clip_polygon(verts: jnp.ndarray, vcount: jnp.ndarray) -> tuple[jnp.ndarray, 
     )
     mask = jnp.clip(vcount + bits, 0, 127)
 
-    vc = VC_TABLE[mask]
-    op = OP_TABLE[mask]  # (..., 5)
-    a = A_TABLE[mask]
-    b = B_TABLE[mask]
+    vc = jnp.asarray(VC_TABLE)[mask]
+    op = jnp.asarray(OP_TABLE)[mask]  # (..., 5)
+    a = jnp.asarray(A_TABLE)[mask]
+    b = jnp.asarray(B_TABLE)[mask]
 
     va = jnp.take_along_axis(verts, a[..., None], axis=-2)  # (..., 5, 3)
     vb = jnp.take_along_axis(verts, b[..., None], axis=-2)

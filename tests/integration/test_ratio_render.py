@@ -1,0 +1,77 @@
+"""BASELINE config 3: ratio estimator — buffers, denoise, on-device combine."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optix_renderer_tpu.engine.modes import RendererType
+from optix_renderer_tpu.engine.renderer import Renderer
+from optix_renderer_tpu.postprocess.denoise import atrous_denoise, ratio_combine
+from optix_renderer_tpu.scene import procedural
+from optix_renderer_tpu.scene.config import parse_scene
+
+
+@pytest.fixture(scope="module")
+def renderer(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cornell")
+    scene = parse_scene(procedural.write_cornell_scene(str(d)))
+    r = Renderer(scene, width=48, height=48, mode=RendererType.RATIO)
+    r.render(8)
+    return r
+
+
+def test_ratio_buffers_present(renderer):
+    aux = renderer.aux
+    assert set(aux) == {"ltc", "sto_direct", "sto_no_vis"}
+    assert aux["ltc"].shape == (48, 48, 3)
+    assert aux["sto_direct"].shape == (48, 48, 1)
+    d = np.asarray(aux["sto_direct"])
+    n = np.asarray(aux["sto_no_vis"])
+    assert np.isfinite(d).all() and np.isfinite(n).all()
+    # unshadowed >= shadowed everywhere (visibility only removes energy)
+    assert (n - d >= -1e-5).all()
+    # the estimators are not black (reference quirk #2 is fixed)
+    assert d.max() > 0.01 and n.max() > 0.01
+
+
+def test_ratio_accumulated_is_ltc(tmp_path):
+    # the accumulated color channel in RATIO mode is the LTC color
+    # (deviceCode.cu:137); compare on a single frame (with accumulation the
+    # jittered primary hits differ between the mean and the last aux frame)
+    scene = parse_scene(procedural.write_cornell_scene(str(tmp_path / "c")))
+    r = Renderer(scene, width=32, height=32, mode=RendererType.RATIO)
+    r.render(1)
+    np.testing.assert_allclose(r.image(), np.asarray(r.aux["ltc"]), rtol=1e-4, atol=1e-5)
+
+
+def test_ratio_combine_full_pipeline(renderer):
+    gb = renderer.gbuffers
+    aux = renderer.aux
+    d = atrous_denoise(jnp.asarray(aux["sto_direct"]), gb.normal, gb.position)
+    n = atrous_denoise(jnp.asarray(aux["sto_no_vis"]), gb.normal, gb.position)
+    final = np.asarray(ratio_combine(jnp.asarray(aux["ltc"]), d, n))
+    assert np.isfinite(final).all()
+    assert (final >= 0).all()
+    ltc = np.asarray(aux["ltc"])
+    # ratio in [0, ~1]: final <= ltc up to denoise wiggle
+    assert (final <= ltc * 1.35 + 0.05).all()
+    # shadowed regions (under the blocks) get darkened vs plain LTC
+    mask = (ltc.sum(-1) > 0.05)
+    assert final.sum(-1)[mask].mean() < ltc.sum(-1)[mask].mean()
+
+
+def test_denoiser_reduces_noise(renderer):
+    gb = renderer.gbuffers
+    noisy = jnp.asarray(renderer.aux["sto_direct"])
+    den = np.asarray(atrous_denoise(noisy, gb.normal, gb.position))
+    noisy = np.asarray(noisy)
+
+    # local variance proxy: mean squared laplacian
+    def roughness(x):
+        x = x[..., 0]
+        lap = 4 * x[1:-1, 1:-1] - x[:-2, 1:-1] - x[2:, 1:-1] - x[1:-1, :-2] - x[1:-1, 2:]
+        return (lap**2).mean()
+
+    assert roughness(den) < roughness(noisy) * 0.5
+    # energy approximately preserved
+    assert abs(den.mean() - noisy.mean()) < 0.15 * abs(noisy.mean()) + 1e-4
