@@ -1,0 +1,70 @@
+"""Headline benchmark: PATH-mode Cornell box at 1024x1024 on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+
+Runs on whatever jax.devices() provides (the real TPU chip under the
+driver; CPU if forced).  The headline metric is Mrays/sec/chip with rays
+counted honestly: primary rays + 2 rays (NEE shadow + BSDF bounce) per
+*alive* lane per bounce, using the per-bounce alive counts the path
+integrator reports (integrators/path.py).
+
+BASELINE.md: the reference publishes no numbers; the driver's north star
+is >100 Mrays/s/chip on v5e, so vs_baseline = value / 100.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    width = height = int(os.environ.get("BENCH_RES", "1024"))
+    depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    frames = int(os.environ.get("BENCH_FRAMES", "8"))
+
+    from optix_renderer_tpu.engine.modes import RendererType
+    from optix_renderer_tpu.engine.renderer import Renderer
+    from optix_renderer_tpu.scene.config import parse_scene
+    from optix_renderer_tpu.scene.procedural import write_cornell_scene
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene_path = os.path.join(here, "scenes", "cornell", "scene.json")
+    if not os.path.exists(scene_path):
+        import tempfile
+
+        scene_path = write_cornell_scene(tempfile.mkdtemp())
+    scene = parse_scene(scene_path)
+
+    r = Renderer(scene, width=width, height=height, mode=RendererType.PATH, path_depth=depth)
+
+    # warmup / compile
+    r.render(1)
+    jax.block_until_ready(r.state.accum)
+    alive = np.asarray(r.aux["path_alive_counts"], np.int64)
+    rays_per_frame = width * height + 2 * int(alive.sum())
+
+    t0 = time.perf_counter()
+    r.render(frames)
+    jax.block_until_ready(r.state.accum)
+    dt = time.perf_counter() - t0
+
+    mrays = rays_per_frame * frames / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"PATH {depth}-bounce MIS Cornell {width}x{height}, Mrays/sec/chip on {jax.devices()[0].device_kind}",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,15 +36,18 @@ def camera_from_lookat(from_, at, up, cos_fovy: float, width: int, height: int) 
     )
 
 
-def primary_rays(camera: Camera, width: int, height: int, jitter_u, jitter_v) -> Ray:
-    """Jittered primary rays for every pixel (deviceCode.cu:68-73).
+def primary_rays(camera: Camera, width: int, height: int, jitter_u, jitter_v, lin=None) -> Ray:
+    """Jittered primary rays (deviceCode.cu:68-73).
 
-    jitter_u/jitter_v: (H*W,) uniforms in [0,1). Pixel (x, y) maps to
-    lane ``x + y * width`` (fbOfs convention, deviceCode.cu:63); row 0 is
-    the v=0 edge (bottom, OpenGL convention — flip when writing PNGs).
+    jitter_u/jitter_v: (N,) uniforms in [0,1). Pixel (x, y) maps to lane
+    ``x + y * width`` (fbOfs convention, deviceCode.cu:63); row 0 is the
+    v=0 edge (bottom, OpenGL convention — flip when writing PNGs).
+    ``lin`` (absolute linear pixel ids) defaults to the full frame; tile
+    rendering passes its own slice (engine.renderer.render_tile).
     """
-    n = width * height
-    lin = jnp.arange(n, dtype=jnp.int32)
+    if lin is None:
+        lin = jnp.arange(width * height, dtype=jnp.int32)
+    lin = lin.astype(jnp.int32)
     px = (lin % width).astype(jnp.float32)
     py = (lin // width).astype(jnp.float32)
     u = (px + jitter_u) / jnp.float32(width)
@@ -55,5 +58,5 @@ def primary_rays(camera: Camera, width: int, height: int, jitter_u, jitter_v) ->
         + v[:, None] * camera.dir_dv[None, :]
     )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(camera.pos[None, :], (n, 3))
+    o = jnp.broadcast_to(camera.pos[None, :], (lin.shape[0], 3))
     return Ray(origin=o, direction=d)

@@ -26,35 +26,41 @@ from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
 from .shade import build_surface_interaction
 
 
-def _frame_impl(
-    state: RenderState,
+def render_tile(
+    camera,
+    accum_id,
     ds: DeviceScene,
     bvh: BVH,
+    row_offset,
     *,
     mode: RendererType,
     width: int,
     height: int,
+    rows: int,
     path_depth: int,
     ratio_samples: int,
 ):
-    """One frame: rays -> trace -> shade -> integrate -> accumulate.
+    """Render a horizontal tile of ``rows`` image rows starting at
+    ``row_offset`` (traced scalar) of the full width x height frame.
 
-    ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where ``aux`` is a
-    dict of extra per-mode buffers (ratio estimator outputs,
-    deviceCode.cu:117-144).  mode/shape parameters are jit-static.
+    This is the unit of both single-chip rendering (one tile = the whole
+    frame) and cross-chip image-tile data parallelism
+    (parallel.sharding): pixel ids, and therefore RNG streams
+    (deviceCode.cu:65-66), are *absolute*, so a sharded render is
+    bit-identical to the single-chip one.
+
+    Returns (color (rows*width, 3), gbuffers (rows, ...), aux dict).
     """
     from ..accel.traverse import trace_closest
 
-    n = width * height
-
-
-    accum_id = state.accum_id
-    lin = jnp.arange(n, dtype=jnp.uint32)
+    n = rows * width
+    lin = (jnp.arange(n, dtype=jnp.uint32)
+           + jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(width))
     # get_rng(accumId + 10007, pixel, dims) — deviceCode.cu:65-66
     rstate = rnglib.make_rng(accum_id + 10007, lin)
     rstate, ju = rnglib.lcg_randomf(rstate)
     rstate, jv = rnglib.lcg_randomf(rstate)
-    rays = cameralib.primary_rays(state.camera, width, height, ju, jv)
+    rays = cameralib.primary_rays(camera, width, height, ju, jv, lin=lin)
     hit = trace_closest(bvh, rays)
     si = build_surface_interaction(ds, rays, hit)
 
@@ -70,29 +76,62 @@ def _frame_impl(
     elif mode == RendererType.PATH:
         from ..integrators.path import path_color
 
-        color, rstate = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
+        color, rstate, alive_counts = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
+        aux = {"path_alive_counts": alive_counts}
     elif mode == RendererType.RATIO:
         from ..integrators.ratio import ratio_color
 
         color, rstate, aux = ratio_color(
             ds, bvh, rays, si, rstate, n_samples=ratio_samples
         )
-        aux = {k: v.reshape(height, width, -1) for k, v in aux.items()}
+        aux = {k: v.reshape(rows, width, -1) for k, v in aux.items()}
     else:
         raise NotImplementedError(f"mode {mode}")
 
-    accum = state.accum + color.reshape(height, width, 3)
     gb = GBuffers(
-        position=si.p.reshape(height, width, 3),
-        normal=si.n_geom.reshape(height, width, 3),
-        albedo=si.diffuse.reshape(height, width, 3),
-        alpha=si.alpha.reshape(height, width),
-        uv=si.uv.reshape(height, width, 2),
-        material_id=si.material_id.astype(jnp.float32).reshape(height, width),
+        position=si.p.reshape(rows, width, 3),
+        normal=si.n_geom.reshape(rows, width, 3),
+        albedo=si.diffuse.reshape(rows, width, 3),
+        alpha=si.alpha.reshape(rows, width),
+        uv=si.uv.reshape(rows, width, 2),
+        material_id=si.material_id.astype(jnp.float32).reshape(rows, width),
     )
-    new_state = RenderState(accum=accum, accum_id=accum_id + 1, camera=state.camera)
-    return new_state, gb, aux
+    return color, gb, aux
 
+
+def _frame_impl(
+    state: RenderState,
+    ds: DeviceScene,
+    bvh: BVH,
+    *,
+    mode: RendererType,
+    width: int,
+    height: int,
+    path_depth: int,
+    ratio_samples: int,
+):
+    """One single-chip frame: the whole image is one tile.
+
+    ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where ``aux`` is a
+    dict of extra per-mode buffers (ratio estimator outputs,
+    deviceCode.cu:117-144).  mode/shape parameters are jit-static.
+    """
+    color, gb, aux = render_tile(
+        state.camera,
+        state.accum_id,
+        ds,
+        bvh,
+        0,
+        mode=mode,
+        width=width,
+        height=height,
+        rows=height,
+        path_depth=path_depth,
+        ratio_samples=ratio_samples,
+    )
+    accum = state.accum + color.reshape(height, width, 3)
+    new_state = RenderState(accum=accum, accum_id=state.accum_id + 1, camera=state.camera)
+    return new_state, gb, aux
 
 
 # A single pjit object for ALL configurations, with the mode/shape

@@ -47,7 +47,9 @@ def path_color(
     max_depth: int = 10,
     ray_eps: float = 1e-3,
 ):
-    """Radiance for each primary ray; returns (color (N, 3), rng_state).
+    """Radiance for each primary ray; returns (color (N, 3), rng_state,
+    alive_counts (max_depth,) — lanes alive at each bounce, for ray-count
+    accounting (each alive lane traces one NEE shadow ray + one bounce ray).
 
     Outer PATH-mode wrapping (deviceCode.cu:146-153): miss lanes get the
     background, direct light hits get raw emission; everything else is the
@@ -62,6 +64,7 @@ def path_color(
     # initial state: first-hit surface; V points back toward the camera
     v0 = cm.normalize(rays.origin - si.p, eps=1e-30)
     init = dict(
+        alive_counts=jnp.zeros((max_depth,), jnp.int32),
         color=jnp.zeros((n, 3), jnp.float32),
         tp=jnp.ones((n, 3), jnp.float32),
         alive=si.hit & ~si.is_light,
@@ -73,8 +76,9 @@ def path_color(
         rng=rng_state,
     )
 
-    def bounce(_, s):
+    def bounce(d, s):
         alive = s["alive"]
+        alive_counts = s["alive_counts"].at[d].set(jnp.sum(alive.astype(jnp.int32)))
         to_local, to_world = cm.orthonormal_basis(s["n"])
         wo_local = cm.normalize(cm.apply_mat(to_local, s["v"]), eps=1e-30)
 
@@ -144,6 +148,7 @@ def path_color(
         new_tp = s["tp"] * brdf * (cos_i / safe_pdf)[:, None]
         c = continue_path[:, None]
         return dict(
+            alive_counts=alive_counts,
             color=color,
             tp=jnp.where(c, new_tp, s["tp"]),
             alive=continue_path,
@@ -162,4 +167,4 @@ def path_color(
     estimate = jnp.maximum(out["color"], EPS)
     color = jnp.where(si.is_light[:, None], si.emit, estimate)
     color = jnp.where(si.hit[:, None], color, ds.miss_color[None, :])
-    return color, out["rng"]
+    return color, out["rng"], out["alive_counts"]

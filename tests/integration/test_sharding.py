@@ -1,0 +1,66 @@
+"""Multi-chip image-tile sharding: bit-identical to single-chip (SURVEY §4),
+on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from optix_renderer_tpu.core.types import RenderState
+from optix_renderer_tpu.engine.modes import RendererType
+from optix_renderer_tpu.engine.renderer import Renderer
+from optix_renderer_tpu.parallel import sharding
+from optix_renderer_tpu.scene import procedural
+from optix_renderer_tpu.scene.config import parse_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cornell")
+    return parse_scene(procedural.write_cornell_scene(str(d)))
+
+
+@pytest.mark.parametrize("mode,depth", [(RendererType.DIFFUSE, 1), (RendererType.PATH, 2)])
+def test_sharded_bit_identical(scene, mode, depth):
+    assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
+    W = H = 32
+
+    # single-chip reference (deterministic modes early-stop at 1 frame, so
+    # drive the frame function directly for an exact frame count)
+    ref = Renderer(scene, width=W, height=H, mode=mode, path_depth=depth)
+    ref_state, ref_gb = ref.state, None
+    for _ in range(2):
+        ref_state, ref_gb, _ = ref._frame(ref_state, ref.device_scene, ref.bvh)
+    ref_img = np.asarray(ref_state.accum)
+
+    # 8-way sharded
+    mesh = sharding.make_mesh(8)
+    r = Renderer(scene, width=W, height=H, mode=mode, path_depth=depth)
+    frame = sharding.make_sharded_frame_fn(mesh, mode, W, H, path_depth=depth)
+    state = sharding.shard_render_state(r.state, mesh)
+    ds = sharding.replicate(r.device_scene, mesh)
+    bvh = sharding.replicate(r.bvh, mesh)
+    for _ in range(2):
+        state, gb, aux = frame(state, ds, bvh)
+
+    got = np.asarray(state.accum)
+    # pure data parallelism + absolute pixel RNG streams: identical up to
+    # single-ulp fusion differences between the two XLA compilations
+    np.testing.assert_allclose(got, ref_img, rtol=0, atol=2e-6)
+    assert (got == ref_img).mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(gb.position), np.asarray(ref_gb.position), rtol=0, atol=2e-4
+    )
+
+
+def test_sharded_state_stays_sharded(scene):
+    mesh = sharding.make_mesh(8)
+    W = H = 16
+    r = Renderer(scene, width=W, height=H, mode=RendererType.MASK)
+    frame = sharding.make_sharded_frame_fn(mesh, RendererType.MASK, W, H)
+    state = sharding.shard_render_state(r.state, mesh)
+    ds = sharding.replicate(r.device_scene, mesh)
+    bvh = sharding.replicate(r.bvh, mesh)
+    state, _, _ = frame(state, ds, bvh)
+    assert isinstance(state, RenderState)
+    shard_shapes = {s.data.shape for s in state.accum.addressable_shards}
+    assert shard_shapes == {(2, 16, 3)}  # 16 rows / 8 devices
