@@ -2,8 +2,16 @@
 
 The TPU equivalent of the reference's closest-hit + miss programs
 (cuda_include/hit_miss.cuh:14-63): after traversal returns (tri_id, bary),
-gather mesh attributes from the flat DeviceScene pool and interpolate.
-Runs as plain fused VPU work for the whole ray batch.
+gather triangle attributes and interpolate.
+
+Two lowerings, dispatched statically on scene size:
+
+* small scenes (<= ONEHOT_MAX_TRIS): ALL per-triangle attributes live in
+  one packed (T, K) matrix (scene.device.tri_pack) and the gather is a
+  single one-hot (R, T) @ (T, K) matmul — MXU work instead of the per-lane
+  dynamic gathers XLA lowers poorly on TPU (measured 3x the cost of the
+  trace itself at 512^2);
+* large scenes: direct dynamic gathers over the flat pools.
 """
 
 from __future__ import annotations
@@ -12,57 +20,34 @@ import jax.numpy as jnp
 
 from ..core import math as cm
 from ..core.types import Hit, Ray, SurfaceInteraction
-from ..scene.device import DeviceScene
+from ..scene.device import PACK_SLICES, DeviceScene
 from ..scene.textures import sample_bilinear
 
+ONEHOT_MAX_TRIS = 4096
 
-def build_surface_interaction(
-    ds: DeviceScene, rays: Ray, hit: Hit, miss_color: jnp.ndarray | None = None
-) -> SurfaceInteraction:
-    """Interpolate attributes at hit points (hit_miss.cuh:14-50); fill miss
-    lanes like the miss program (hit_miss.cuh:52-63)."""
-    if miss_color is None:
-        miss_color = ds.miss_color
 
+def _finalize(ds, rays, hit, parts, miss_color):
+    """Assemble the SurfaceInteraction from gathered per-lane attributes,
+    applying the miss program semantics (hit_miss.cuh:52-63)."""
     valid = hit.tri_id >= 0
-    tid = jnp.maximum(hit.tri_id, 0)
-    idx = ds.tri_index[tid]  # (N, 3)
-    mesh = ds.tri_mesh[tid]  # (N,)
-
     u = hit.bary_u[:, None]
     v = hit.bary_v[:, None]
     w = 1.0 - u - v
 
-    v1 = ds.vertices[idx[:, 0]]
-    v2 = ds.vertices[idx[:, 1]]
-    v3 = ds.vertices[idx[:, 2]]
-    p = w * v1 + u * v2 + v * v3  # barycentricInterpolate (utils.cuh:9-18)
-
-    area = cm.triangle_area(v1, v2, v3)  # hit_miss.cuh:24-27
-
-    n1 = ds.normals[idx[:, 0]]
-    n2 = ds.normals[idx[:, 1]]
-    n3 = ds.normals[idx[:, 2]]
-    n_geom = cm.normalize(w * n1 + u * n2 + v * n3, eps=1e-30)
-
-    t1 = ds.uvs[idx[:, 0]]
-    t2 = ds.uvs[idx[:, 1]]
-    t3 = ds.uvs[idx[:, 2]]
-    uv = w * t1 + u * t2 + v * t3
+    p = w * parts["v1"] + u * parts["v2"] + v * parts["v3"]  # utils.cuh:9-18
+    n_geom = cm.normalize(w * parts["n1"] + u * parts["n2"] + v * parts["n3"], eps=1e-30)
+    uv = w * parts["uv1"] + u * parts["uv2"] + v * parts["uv3"]
     uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
 
-    diffuse = ds.mesh_diffuse[mesh]
-    tex_id = ds.mesh_diffuse_tex[mesh]
-    has_tex = tex_id >= 0
-    tex_rgba = sample_bilinear(ds.textures, tex_id, uv[:, 0], uv[:, 1])
-    diffuse = jnp.where(has_tex[:, None], tex_rgba[:, :3], diffuse)  # hit_miss.cuh:40-44
+    diffuse = parts["diffuse"]
+    if ds.has_textures:  # static: skip atlas sampling entirely if no textures
+        tex_id = parts["diffuse_tex"].astype(jnp.int32)
+        has_tex = tex_id >= 0
+        tex_rgba = sample_bilinear(ds.textures, tex_id, uv[:, 0], uv[:, 1])
+        diffuse = jnp.where(has_tex[:, None], tex_rgba[:, :3], diffuse)  # hit_miss.cuh:40-44
 
-    alpha = jnp.clip(ds.mesh_alpha[mesh], 0.01, 1.0)  # hit_miss.cuh:45-46
-    emit = ds.mesh_emit[mesh]
-    is_light = ds.mesh_is_light[mesh]
-    material_id = ds.mesh_material_id[mesh]
+    alpha = jnp.clip(parts["alpha"], 0.01, 1.0)  # hit_miss.cuh:45-46
 
-    # miss lanes (hit_miss.cuh:52-63): hit=false, n_geom=0, diffuse=const
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
     return SurfaceInteraction(
@@ -72,8 +57,67 @@ def build_surface_interaction(
         n_geom=jnp.where(vmask, n_geom, zero3),
         diffuse=jnp.where(vmask, diffuse, miss_color[None, :]),
         alpha=jnp.where(valid, alpha, 0.0),
-        emit=jnp.where(vmask, emit, zero3),
-        is_light=valid & is_light,
-        material_id=jnp.where(valid, material_id, 0),
-        area=jnp.where(valid, area, 0.0),
+        emit=jnp.where(vmask, parts["emit"], zero3),
+        is_light=valid & parts["is_light"],
+        material_id=jnp.where(valid, parts["material_id"].astype(jnp.int32), 0),
+        area=jnp.where(valid, parts["area"], 0.0),
     )
+
+
+def _shade_onehot(ds: DeviceScene, rays: Ray, hit: Hit, miss_color) -> SurfaceInteraction:
+    """One (R, T) one-hot matmul gathers the whole packed attribute row."""
+    T = ds.num_tris
+    tid = jnp.maximum(hit.tri_id, 0)
+    onehot = (tid[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    rows = jnp.dot(onehot, ds.tri_pack, preferred_element_type=jnp.float32)  # (R, K)
+
+    def take(name):
+        a, b = PACK_SLICES[name]
+        return rows[:, a:b] if b - a > 1 else rows[:, a]
+
+    parts = {k: take(k) for k in ("v1", "v2", "v3", "n1", "n2", "n3", "uv1", "uv2", "uv3", "diffuse", "emit", "diffuse_tex")}
+    parts.update(
+        alpha=take("alpha"),
+        is_light=take("is_light") > 0.5,
+        material_id=take("material_id"),
+        area=take("area"),
+    )
+    return _finalize(ds, rays, hit, parts, miss_color)
+
+
+def _shade_gather(ds: DeviceScene, rays: Ray, hit: Hit, miss_color) -> SurfaceInteraction:
+    """Direct dynamic gathers over the flat pools (large scenes)."""
+    tid = jnp.maximum(hit.tri_id, 0)
+    idx = ds.tri_index[tid]  # (N, 3)
+    mesh = ds.tri_mesh[tid]  # (N,)
+    parts = dict(
+        v1=ds.vertices[idx[:, 0]],
+        v2=ds.vertices[idx[:, 1]],
+        v3=ds.vertices[idx[:, 2]],
+        n1=ds.normals[idx[:, 0]],
+        n2=ds.normals[idx[:, 1]],
+        n3=ds.normals[idx[:, 2]],
+        uv1=ds.uvs[idx[:, 0]],
+        uv2=ds.uvs[idx[:, 1]],
+        uv3=ds.uvs[idx[:, 2]],
+        diffuse=ds.mesh_diffuse[mesh],
+        emit=ds.mesh_emit[mesh],
+        diffuse_tex=ds.mesh_diffuse_tex[mesh].astype(jnp.float32),
+        alpha=ds.mesh_alpha[mesh],
+        is_light=ds.mesh_is_light[mesh],
+        material_id=ds.mesh_material_id[mesh].astype(jnp.float32),
+        area=cm.triangle_area(ds.vertices[idx[:, 0]], ds.vertices[idx[:, 1]], ds.vertices[idx[:, 2]]),
+    )
+    return _finalize(ds, rays, hit, parts, miss_color)
+
+
+def build_surface_interaction(
+    ds: DeviceScene, rays: Ray, hit: Hit, miss_color: jnp.ndarray | None = None
+) -> SurfaceInteraction:
+    """Interpolate attributes at hit points (hit_miss.cuh:14-50); fill miss
+    lanes like the miss program (hit_miss.cuh:52-63)."""
+    if miss_color is None:
+        miss_color = ds.miss_color
+    if ds.num_tris <= ONEHOT_MAX_TRIS:
+        return _shade_onehot(ds, rays, hit, miss_color)
+    return _shade_gather(ds, rays, hit, miss_color)

@@ -79,13 +79,36 @@ class DeviceScene:
     textures: TextureAtlas
     miss_color: jnp.ndarray  # (3,) miss program const_color (common.cuh:153-155)
 
+    # packed per-triangle attribute matrix (T, PACK_K): one MXU one-hot
+    # matmul gathers *all* shading attributes for small scenes at once
+    # (TPUs lower per-lane dynamic gathers poorly; engine.shade dispatches
+    # on num_tris). Layout: PACK_SLICES below.
+    tri_pack: jnp.ndarray
+
     @property
     def num_tris(self) -> int:
         return self.tri_index.shape[0]
 
     @property
+    def has_textures(self) -> bool:
+        """Static (shape-based): any real texture in the atlas?"""
+        return self.textures.pixels.shape[0] > 1
+
+    @property
     def num_lights(self) -> int:
         return self.light_v1.shape[0]
+
+
+# tri_pack column layout (end-exclusive): see build_device_scene
+PACK_SLICES = {
+    "v1": (0, 3), "v2": (3, 6), "v3": (6, 9),
+    "n1": (9, 12), "n2": (12, 15), "n3": (15, 18),
+    "uv1": (18, 20), "uv2": (20, 22), "uv3": (22, 24),
+    "diffuse": (24, 27), "emit": (27, 30),
+    "alpha": (30, 31), "is_light": (31, 32), "material_id": (32, 33),
+    "area": (33, 34), "diffuse_tex": (34, 35),
+}
+PACK_K = 35
 
 
 def build_texture_atlas(textures) -> TextureAtlas:
@@ -156,7 +179,36 @@ def build_device_scene(scene: Scene, miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
     f32 = partial(jnp.asarray, dtype=jnp.float32)
     i32 = partial(jnp.asarray, dtype=jnp.int32)
 
+    # pack per-triangle shading attributes (gathered once on host)
+    all_v = np.concatenate(verts, axis=0)
+    all_n = np.concatenate(norms, axis=0)
+    all_uv = np.concatenate(uvs, axis=0)
+    all_tri = np.concatenate(tris, axis=0)
+    all_mesh = np.concatenate(tri_mesh, axis=0)
+    mesh_diffuse_np = np.stack([m.diffuse for m in meshes]).astype(np.float32)
+    mesh_alpha_np = np.asarray([m.alpha for m in meshes], np.float32)
+    mesh_emit_np = np.stack([m.emit for m in meshes]).astype(np.float32)
+    mesh_is_light_np = np.asarray([m.is_light for m in meshes], np.float32)
+    mesh_matid_np = np.asarray([m.material_id for m in meshes], np.float32)
+    mesh_dtex_np = np.asarray([m.diffuse_texture_id for m in meshes], np.float32)
+    tv1, tv2, tv3 = (all_v[all_tri[:, k]] for k in range(3))
+    tn1, tn2, tn3 = (all_n[all_tri[:, k]] for k in range(3))
+    tu1, tu2, tu3 = (all_uv[all_tri[:, k]] for k in range(3))
+    tri_area = 0.5 * np.linalg.norm(np.cross(tv1 - tv2, tv3 - tv2), axis=-1)
+    tri_pack = np.concatenate(
+        [
+            tv1, tv2, tv3, tn1, tn2, tn3, tu1, tu2, tu3,
+            mesh_diffuse_np[all_mesh], mesh_emit_np[all_mesh],
+            mesh_alpha_np[all_mesh][:, None], mesh_is_light_np[all_mesh][:, None],
+            mesh_matid_np[all_mesh][:, None], tri_area[:, None].astype(np.float32),
+            mesh_dtex_np[all_mesh][:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    assert tri_pack.shape[1] == PACK_K
+
     return DeviceScene(
+        tri_pack=f32(tri_pack),
         vertices=f32(np.concatenate(verts, axis=0)),
         normals=f32(np.concatenate(norms, axis=0)),
         uvs=f32(np.concatenate(uvs, axis=0)),

@@ -4,7 +4,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from optix_renderer_tpu.accel.build import build_bvh
-from optix_renderer_tpu.accel.traverse import intersect_brute, trace_any, trace_closest
+from optix_renderer_tpu.accel.traverse import (
+    intersect_brute,
+    trace_any,
+    trace_any_bvh,
+    trace_closest,
+    trace_closest_brute,
+    trace_closest_bvh,
+)
 from optix_renderer_tpu.core.types import Ray
 from optix_renderer_tpu.scene import procedural
 from optix_renderer_tpu.scene.config import parse_scene
@@ -26,9 +33,9 @@ def random_rays(n, seed=1, origin_scale=1.0):
     return Ray(origin=jnp.asarray(o), direction=jnp.asarray(d))
 
 
-def check_matches_brute(tri_verts, rays, t_min=0.0):
+def check_matches_brute(tri_verts, rays, t_min=0.0, tracer=trace_closest):
     bvh = build_bvh(tri_verts)
-    got = trace_closest(bvh, rays, t_min=t_min)
+    got = tracer(bvh, rays, t_min=t_min)
     want = intersect_brute(jnp.asarray(tri_verts), rays, t_min=t_min)
     # same hit/miss classification
     np.testing.assert_array_equal(np.asarray(got.tri_id >= 0), np.asarray(want.tri_id >= 0))
@@ -45,7 +52,9 @@ def check_matches_brute(tri_verts, rays, t_min=0.0):
 
 
 def test_traversal_matches_brute_soup():
-    check_matches_brute(random_soup(300), random_rays(512))
+    # both implementations, regardless of the size-based dispatch
+    check_matches_brute(random_soup(300), random_rays(512), tracer=trace_closest_bvh)
+    check_matches_brute(random_soup(300), random_rays(512), tracer=trace_closest_brute)
 
 
 def test_traversal_matches_brute_clustered():
@@ -106,8 +115,9 @@ def test_trace_any_matches_closest():
     rays = random_rays(512, seed=6)
     bvh = build_bvh(tri)
     closest = trace_closest(bvh, rays)
-    occluded = trace_any(bvh, rays)
-    np.testing.assert_array_equal(np.asarray(occluded), np.asarray(closest.tri_id >= 0))
+    for anyfn in (trace_any, trace_any_bvh):
+        occluded = anyfn(bvh, rays)
+        np.testing.assert_array_equal(np.asarray(occluded), np.asarray(closest.tri_id >= 0))
 
 
 def test_trace_any_tmax():
