@@ -81,9 +81,42 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
 def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
     """Visibility query (see trace_closest for dispatch)."""
     if bvh.tri_v0.shape[0] <= BRUTE_MAX_TRIS:
-        hit = trace_closest_brute(bvh, rays, t_min, t_max)
-        return hit.tri_id >= 0
+        return trace_any_brute(bvh, rays, t_min, t_max)
     return trace_any_bvh(bvh, rays, t_min, t_max)
+
+
+def trace_any_brute(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
+    """Brute-force any-hit: True where an occluder exists in (t_min, t_max).
+
+    Same chunked layout as trace_closest_brute but only ORs hit flags — no
+    closest-t/tri/bary selects per triangle. t_max may be per-ray (R,)."""
+    o = rays.origin
+    d = rays.direction
+    R = o.shape[0]
+    T = bvh.tri_v0.shape[0]
+    Tp = _pad_count(T)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    pad = Tp - T
+    v0 = jnp.pad(bvh.tri_v0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(bvh.tri_e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(bvh.tri_e2, ((0, pad), (0, 0)))
+
+    def chunk_body(c, occ):
+        base = c * _BRUTE_CHUNK
+        v0c = jax.lax.dynamic_slice(v0, (base, 0), (_BRUTE_CHUNK, 3))
+        e1c = jax.lax.dynamic_slice(e1, (base, 0), (_BRUTE_CHUNK, 3))
+        e2c = jax.lax.dynamic_slice(e2, (base, 0), (_BRUTE_CHUNK, 3))
+        for i in range(_BRUTE_CHUNK):
+            h, _, _, _ = _moller_trumbore(o, d, v0c[i], e1c[i], e2c[i], t_min, t_max)
+            occ = occ | h
+        return occ
+
+    occ0 = jnp.zeros((R,), jnp.bool_)
+    n_chunks = Tp // _BRUTE_CHUNK
+    if n_chunks == 1:
+        return chunk_body(0, occ0)
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
 
 
 def _pad_count(t: int) -> int:

@@ -16,6 +16,7 @@ Two lowerings, dispatched statically on scene size:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as cm
@@ -69,7 +70,15 @@ def _shade_onehot(ds: DeviceScene, rays: Ray, hit: Hit, miss_color) -> SurfaceIn
     T = ds.num_tris
     tid = jnp.maximum(hit.tri_id, 0)
     onehot = (tid[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    rows = jnp.dot(onehot, ds.tri_pack, preferred_element_type=jnp.float32)  # (R, K)
+    # Precision.HIGHEST: default TPU matmul precision multiplies in bf16,
+    # rounding every gathered attribute (hit positions of ~500-unit scenes
+    # get ~1.0 absolute error — larger than the shadow-ray epsilon).  The
+    # one-hot matmul is cheap (K=35), so pay for exact f32 passes.
+    rows = jnp.dot(
+        onehot, ds.tri_pack,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (R, K)
 
     def take(name):
         a, b = PACK_SLICES[name]

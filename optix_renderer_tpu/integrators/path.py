@@ -38,6 +38,37 @@ def _clamp_dot(a, b):
     return jnp.maximum(cm.dot(a, b), EPS)
 
 
+_ONEHOT_MAX_LIGHTS = 512
+
+
+def gather_light_attrs(ds: DeviceScene, lidx: jnp.ndarray):
+    """Per-lane TriLight attribute fetch (sampleLight, path.cuh:6-14).
+
+    Small light lists use one exact-precision one-hot matmul over a packed
+    (L, 16) attribute matrix — a single MXU pass instead of six per-lane
+    dynamic gathers (XLA lowers those poorly on TPU).  Returns
+    (v1, v2, v3, normal, emit, area).
+    """
+    L = ds.num_lights
+    if L > _ONEHOT_MAX_LIGHTS:
+        return (
+            ds.light_v1[lidx], ds.light_v2[lidx], ds.light_v3[lidx],
+            ds.light_normal[lidx], ds.light_emit[lidx], ds.light_area[lidx],
+        )
+    pack = jnp.concatenate(
+        [ds.light_v1, ds.light_v2, ds.light_v3, ds.light_normal,
+         ds.light_emit, ds.light_area[:, None]],
+        axis=1,
+    )  # (L, 16)
+    onehot = (lidx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    rows = jnp.dot(
+        onehot, pack,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12], rows[:, 12:15], rows[:, 15]
+
+
 def path_color(
     ds: DeviceScene,
     bvh,
@@ -55,7 +86,7 @@ def path_color(
     background, direct light hits get raw emission; everything else is the
     path estimate (floored at EPS per channel, path.cuh:254-256).
     """
-    from ..accel.traverse import trace_closest
+    from ..accel.traverse import trace_any, trace_closest
     from ..engine.shade import build_surface_interaction
 
     n = rays.origin.shape[0]
@@ -90,29 +121,32 @@ def path_color(
         light_idx = jnp.clip((l_pick * num_lights).astype(jnp.int32), 0, num_lights - 1)
 
         # ---- NEE / light sampling (path.cuh:176-205, intended) ----------
-        light_pdf_a = 1.0 / (ds.light_area[light_idx] * num_lights)  # sampleLightPdf
-        lp = cm.sample_point_on_triangle(
-            ds.light_v1[light_idx], ds.light_v2[light_idx], ds.light_v3[light_idx], l_u1, l_u2
-        )
-        to_light = lp - s["p"]
+        # Shadow rays are *visibility* queries toward the sampled light
+        # point (trace_any with per-ray t_max), not closest-hit traces: the
+        # sampled light's own emission/normal are already known, so the
+        # full SurfaceInteraction gather the round-1 implementation paid
+        # per bounce is unnecessary (and any-hit traversal early-outs).
+        lv1, lv2, lv3, lnormal, lemit, larea = gather_light_attrs(ds, light_idx)
+        light_pdf_a = 1.0 / (larea * num_lights)  # sampleLightPdf
+        lp = cm.sample_point_on_triangle(lv1, lv2, lv3, l_u1, l_u2)
+        shadow_origin = s["p"] + s["n"] * ray_eps
+        to_light = lp - shadow_origin
         dist2 = jnp.sum(to_light * to_light, axis=-1)
-        ldir = cm.normalize(to_light, eps=1e-30)
+        dist = jnp.sqrt(dist2)
+        ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
 
-        shadow_ray = Ray(origin=s["p"] + s["n"] * ray_eps, direction=ldir)
-        shadow_hit = trace_closest(bvh, shadow_ray)
-        shadow_si = build_surface_interaction(ds, shadow_ray, shadow_hit)
+        shadow_ray = Ray(origin=shadow_origin, direction=ldir)
+        occluded = trace_any(bvh, shadow_ray, t_max=dist * (1.0 - 1e-3))
 
-        light_pdf_w = pdf_area_to_solid_angle(
-            light_pdf_a, dist2, cm.dot(-ldir, shadow_si.n_geom)
-        )
+        light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))
         wi_local_nee = cm.normalize(cm.apply_mat(to_local, ldir), eps=1e-30)
         brdf_pdf_nee = material.pdf(wi_local_nee, wo_local, s["diffuse"], s["alpha"])
         brdf_nee = material.evaluate(wi_local_nee, wo_local, s["diffuse"], s["alpha"])
         mis_nee = cm.balance_heuristic(1, light_pdf_w, 1, brdf_pdf_nee)
-        nee_ok = alive & shadow_si.is_light & (light_pdf_w > 0.0)
+        nee_ok = alive & ~occluded & (light_pdf_w > 0.0)
         nee = (
             mis_nee[:, None]
-            * shadow_si.emit
+            * lemit
             * s["tp"]
             * brdf_nee
             * (_clamp_dot(s["n"], ldir) / jnp.where(light_pdf_w == 0.0, 1.0, light_pdf_w))[:, None]
@@ -135,7 +169,11 @@ def path_color(
         hit_light = sample_ok & bounce_si.hit & bounce_si.is_light
         d2 = jnp.sum((bounce_si.p - s["p"]) ** 2, axis=-1)
         lpdf_a = 1.0 / (jnp.maximum(bounce_si.area, 1e-20) * num_lights)
-        lpdf_w = pdf_area_to_solid_angle(lpdf_a, d2, cos_i)
+        # area->solid-angle with the cosine at the LIGHT surface, matching
+        # the NEE arm's conversion — the balance-heuristic weights for a
+        # strategy pair must use the same pdfs or they don't sum to 1.
+        # (The reference's dead code used cos_i here, path.cuh:233.)
+        lpdf_w = pdf_area_to_solid_angle(lpdf_a, d2, cm.dot(-dir_world, bounce_si.n_geom))
         mis_b = cm.balance_heuristic(1, bsdf_pdf, 1, lpdf_w)
         safe_pdf = jnp.where(bsdf_pdf == 0.0, 1.0, bsdf_pdf)
         emit_term = (

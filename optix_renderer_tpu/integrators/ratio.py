@@ -13,10 +13,17 @@ The final ratio image ``ltc * D / N`` is assembled on device by
 ``postprocess.ratio_combine`` after denoising (the reference does this
 offline in ltc_ratio_estimator.py:4-10).
 
-Deviation from the committed quirks, documented: the solid-angle pdf for
-both estimators uses the *sampled* light's geometry (the reference reuses
-the shadow-hit surface's normal even when the ray hit a wall,
-ratio.cuh:51, which makes the unshadowed estimator depend on occluders).
+Deviations from the committed quirks, documented:
+
+* the solid-angle pdf for both estimators uses the *sampled* light's
+  geometry (the reference reuses the shadow-hit surface's normal even
+  when the ray hit a wall, ratio.cuh:51, which makes the unshadowed
+  estimator depend on occluders);
+* the shadowed estimator credits the *sampled* light's emission gated by
+  true visibility of the sampled point (trace_any to the sample), not the
+  emission of whichever light the closest-hit shadow ray struck
+  (ratio.cuh:61) — with multiple lights of different emission the
+  reference's estimator mixes pdfs and emissions of different lights.
 """
 
 from __future__ import annotations
@@ -29,13 +36,12 @@ from ..core.types import Ray, SurfaceInteraction
 from ..scene.device import DeviceScene
 from ..shading import material
 from .ltc_direct import ltc_direct
-from .path import _clamp_dot, pdf_area_to_solid_angle
+from .path import _clamp_dot, gather_light_attrs, pdf_area_to_solid_angle
 
 
 def _stochastic_direct_once(ds, bvh, si, wo_local, to_local, rng, ray_eps):
     """One light sample -> (shadowed rgb, unshadowed rgb, rng)."""
-    from ..accel.traverse import trace_closest
-    from ..engine.shade import build_surface_interaction
+    from ..accel.traverse import trace_any
 
     num_lights = ds.num_lights
     rng, u1, u2 = rnglib.lcg_randomf2(rng)  # rand1 (ratio.cuh:29)
@@ -43,30 +49,29 @@ def _stochastic_direct_once(ds, bvh, si, wo_local, to_local, rng, ray_eps):
     rng, pick = rnglib.lcg_randomf(rng)  # light index (ratio.cuh:33)
     lidx = jnp.clip((pick * num_lights).astype(jnp.int32), 0, num_lights - 1)
 
-    light_pdf_a = 1.0 / (ds.light_area[lidx] * num_lights)
-    lp = cm.sample_point_on_triangle(
-        ds.light_v1[lidx], ds.light_v2[lidx], ds.light_v3[lidx], u1, u2
-    )
-    to_light = lp - si.p
+    lv1, lv2, lv3, lnormal, lemit, larea = gather_light_attrs(ds, lidx)
+    light_pdf_a = 1.0 / (larea * num_lights)
+    lp = cm.sample_point_on_triangle(lv1, lv2, lv3, u1, u2)
+    shadow_origin = si.p + si.n_geom * ray_eps
+    to_light = lp - shadow_origin
     dist2 = jnp.sum(to_light * to_light, axis=-1)
-    ldir = cm.normalize(to_light, eps=1e-30)
+    dist = jnp.sqrt(dist2)
+    ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
 
     # solid-angle pdf from the sampled light's own normal (see docstring)
-    light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, ds.light_normal[lidx]))
+    light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))
 
     wi_local = cm.normalize(cm.apply_mat(to_local, ldir), eps=1e-30)
     brdf = material.evaluate(wi_local, wo_local, si.diffuse, si.alpha)
 
     weight = _clamp_dot(si.n_geom, ldir) / jnp.where(light_pdf_w == 0.0, 1.0, light_pdf_w)
-    contrib = ds.light_emit[lidx] * brdf * weight[:, None]
+    contrib = lemit * brdf * weight[:, None]
     contrib = jnp.where((light_pdf_w > 0.0)[:, None], cm.check_positive(contrib), 0.0)
 
-    shadow_ray = Ray(origin=si.p + si.n_geom * ray_eps, direction=ldir)
-    shadow_hit = trace_closest(bvh, shadow_ray)
-    shadow_si = build_surface_interaction(ds, shadow_ray, shadow_hit)
-    visible = shadow_si.is_light  # visibility test of ratio.cuh:50,60
+    # visibility of the sampled point (see docstring deviations)
+    occluded = trace_any(bvh, Ray(origin=shadow_origin, direction=ldir), t_max=dist * (1.0 - 1e-3))
 
-    return jnp.where(visible[:, None], contrib, 0.0), contrib, rng
+    return jnp.where(occluded[:, None], 0.0, contrib), contrib, rng
 
 
 def ratio_color(

@@ -180,38 +180,31 @@ def direct_lighting_mc(p, n, base, alpha, cam_pos, tris, tri_is_light, tri_emit,
 
     total = np.zeros((n_samples, 3))
 
-    # --- NEE half ---
+    # --- NEE half (visibility-query semantics: the framework shadow-traces
+    # toward the *sampled* point and credits the *sampled* light's emission
+    # and normal — integrators/path.py) ---
     li = np.minimum((rng.random(n_samples) * L).astype(int), L - 1)
     u1 = rng.random(n_samples)
     u2 = rng.random(n_samples)
     su = np.sqrt(u1)[:, None]
     pt = (1 - su) * lights["v1"][li] + su * ((1 - u2[:, None]) * lights["v2"][li] + u2[:, None] * lights["v3"][li])
-    to_l = pt - p
+    origin = p + n * ray_eps
+    to_l = pt - origin
     dist2 = (to_l**2).sum(-1)
-    ldir = to_l / np.sqrt(dist2)[:, None]
-    # visibility: closest hit along ldir must be a light
-    t_all = ray_tri_hits(np.tile(p + n * ray_eps, (n_samples, 1)), ldir, tris)
-    closest = t_all.argmin(-1)
-    has_hit = np.isfinite(t_all.min(-1))
-    vis = has_hit & tri_is_light[closest]
-    hit_emit = tri_emit[closest]
-    # hit normal for pdfA2W (framework uses the shadow-hit surface's normal)
-    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-    fn /= np.linalg.norm(fn, axis=-1, keepdims=True)
-    # interpolated normal equals face normal for flat lights; sign per stored normals
-    hit_n = fn[closest] * np.sign((fn[closest] * -ldir).sum(-1))[:, None]  # facing convention below
-    # NOTE: the framework uses the mesh's stored normals; for the Cornell
-    # light both tris have normal (0,-1,0) — pass stored normal instead:
-    hit_n = np.where(tri_is_light[closest][:, None], lights["normal"][0], hit_n)
+    dist = np.sqrt(dist2)
+    ldir = to_l / dist[:, None]
+    # visibility: nothing closer than the sampled point
+    t_all = ray_tri_hits(np.tile(origin, (n_samples, 1)), ldir, tris)
+    vis = t_all.min(-1) >= dist * (1 - 1e-3)
     lpdf_a = 1.0 / (lights["area"][li] * L)
-    cos_l = np.abs((-ldir * hit_n).sum(-1))
+    cos_l = np.abs((-ldir * lights["normal"][li]).sum(-1))
     lpdf_w = np.where(cos_l < 1e-8, 0, lpdf_a * dist2 / np.where(cos_l < 1e-8, 1, cos_l))
     wi = (M[None] @ ldir[..., None])[..., 0]
     f = evaluate(wi, wo, base_v, alpha)
     bp = material_pdf(wi, wo, base_v, alpha)
     mis = lpdf_w / (lpdf_w + bp)
     w = np.maximum((n * ldir).sum(-1), EPS) / np.where(lpdf_w == 0, 1, lpdf_w)
-    nee = mis[:, None] * hit_emit * f * w[:, None]
+    nee = mis[:, None] * lights["emit"][li] * f * w[:, None]
     total += np.where((vis & (lpdf_w > 0))[:, None], np.maximum(nee, 0), 0)
 
     # --- BSDF half ---
@@ -231,7 +224,13 @@ def direct_lighting_mc(p, n, base, alpha, cam_pos, tris, tri_is_light, tri_emit,
     del e1, e2c
     d2 = t_hit**2
     lpdf_a = 1.0 / (np.maximum(area, 1e-20) * L)
-    cos_t = np.abs(cos_i)
+    # cosine at the LIGHT surface (face normal of the hit triangle),
+    # matching the NEE arm's area->solid-angle conversion
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    fn /= np.linalg.norm(fn, axis=-1, keepdims=True)
+    safe_closest = np.where(hit, closest, 0)
+    cos_t = np.abs((-dir_w * fn[safe_closest]).sum(-1))
+    cos_t = np.where(hit, cos_t, 0.0)
     lpdf_w = np.where(cos_t < 1e-8, 0, lpdf_a * d2 / np.where(cos_t < 1e-8, 1, cos_t))
     mis = bpdf / (bpdf + lpdf_w)
     f = evaluate(wi, wo, base_v, alpha)
