@@ -50,6 +50,8 @@ class BVH:
     tri_e1: jnp.ndarray  # (T, 3) f32  (v1 - v0)
     tri_e2: jnp.ndarray  # (T, 3) f32  (v2 - v0)
     prim_id: jnp.ndarray  # (T,) i32 sorted slot -> original triangle id
+    tri_tab: jnp.ndarray  # (Tpad, 16) f32 packed [v0,e1,e2,prim_id,pad] for
+    # the Pallas sublane-chunk kernels (accel.pallas_trace)
 
     @property
     def num_nodes(self) -> int:
@@ -146,9 +148,12 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> BVH:
     e1 = tri_verts[order, 1] - v0
     e2 = tri_verts[order, 2] - v0
 
+    from .pallas_trace import pack_tri_table
+
     f32 = partial(jnp.asarray, dtype=jnp.float32)
     i32 = partial(jnp.asarray, dtype=jnp.int32)
     return BVH(
+        tri_tab=pack_tri_table(v0, e1, e2, order),
         node_min=f32(np.stack(node_min)),
         node_max=f32(np.stack(node_max)),
         node_skip=i32(skip),

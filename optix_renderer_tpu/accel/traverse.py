@@ -68,19 +68,42 @@ BRUTE_MAX_TRIS = 4096  # measured crossover on v5e: chunked brute-force beats
 # dynamic gathers poorly on TPU: 0.8 Mrays/s vs 37 Mrays/s at 32 tris)
 _BRUTE_CHUNK = 32
 
+# On TPU the Pallas sublane-chunk kernels (accel.pallas_trace) own the
+# brute-force tier; they raise the practical brute ceiling well above the
+# jnp crossover because every VPU op tests 8 triangles x 128 rays.
+PALLAS_BRUTE_MAX_TRIS = 16384
+
+
+def _on_cpu() -> bool:
+    """Static backend dispatch (resolved at trace time, one backend per
+    process): CPU keeps the portable jnp lowerings (tests, oracles);
+    anything else (tpu / the axon tunnel) takes the Pallas kernels."""
+    return jax.default_backend() == "cpu"
+
 
 def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) -> Hit:
-    """Closest hit over a ray batch, dispatching on scene size (static):
-    chunk-unrolled brute force for small scenes, skip-link BVH walk
-    otherwise. Returns Hit in ORIGINAL triangle ids."""
-    if bvh.tri_v0.shape[0] <= BRUTE_MAX_TRIS:
+    """Closest hit over a ray batch, dispatching on backend + scene size
+    (both static): Pallas sublane-chunk brute force on TPU, chunk-unrolled
+    jnp brute force on CPU, skip-link BVH walk for large scenes.  Returns
+    Hit in ORIGINAL triangle ids."""
+    T = bvh.tri_v0.shape[0]
+    if not _on_cpu() and T <= PALLAS_BRUTE_MAX_TRIS:
+        from .pallas_trace import trace_closest_tiles
+
+        return trace_closest_tiles(bvh.tri_tab, rays, t_max=t_max)
+    if T <= BRUTE_MAX_TRIS:
         return trace_closest_brute(bvh, rays, t_min, t_max)
     return trace_closest_bvh(bvh, rays, t_min, t_max)
 
 
 def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
     """Visibility query (see trace_closest for dispatch)."""
-    if bvh.tri_v0.shape[0] <= BRUTE_MAX_TRIS:
+    T = bvh.tri_v0.shape[0]
+    if not _on_cpu() and T <= PALLAS_BRUTE_MAX_TRIS:
+        from .pallas_trace import trace_any_tiles
+
+        return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max)
+    if T <= BRUTE_MAX_TRIS:
         return trace_any_brute(bvh, rays, t_min, t_max)
     return trace_any_bvh(bvh, rays, t_min, t_max)
 
