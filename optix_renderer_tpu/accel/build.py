@@ -7,6 +7,11 @@ needs no per-ray stack, just one node pointer per lane, so the inner loop
 is pure vectorized gathers + selects with zero divergence-managed state
 (SURVEY.md §7.3 hard-part #1).
 
+The builder is fully iterative (explicit DFS stack + memoized subtree
+sizes; no Python recursion) and AABBs are computed vectorized per level of
+the leaf loop + a single reverse merge pass, so a ~1M-triangle build stays
+in the seconds range.
+
 Layout invariants (consumed by ``accel.traverse``):
 * node 0 is the root; an inner node's first child is ``i + 1`` (DFS);
 * ``skip[i]`` is the node to visit when the AABB test fails, or after a
@@ -16,12 +21,16 @@ Layout invariants (consumed by ``accel.traverse``):
 
 Triangle data is pre-swizzled into sorted leaf order (v0/e1/e2) so leaf
 tests gather contiguously; ``prim_id`` maps back to the original ids.
+
+For the TPU big-scene tier (``accel.pallas_cluster``) the same Morton
+order additionally yields fixed-size *clusters* (contiguous runs of
+``CLUSTER_SIZE`` triangles) whose AABBs feed the tile-level culling phase.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -50,12 +59,18 @@ class BVH:
     tri_e1: jnp.ndarray  # (T, 3) f32  (v1 - v0)
     tri_e2: jnp.ndarray  # (T, 3) f32  (v2 - v0)
     prim_id: jnp.ndarray  # (T,) i32 sorted slot -> original triangle id
-    tri_tab: jnp.ndarray  # (Tpad, 16) f32 packed [v0,e1,e2,prim_id,pad] for
-    # the Pallas sublane-chunk kernels (accel.pallas_trace)
+    tri_tab: jnp.ndarray  # (Tpad, 16) f32 packed table for the Pallas
+    # kernels (accel.pallas_trace.pack_tri_table layout)
+    cluster_min: jnp.ndarray  # (C, 3) f32 cluster AABBs (big-scene tier)
+    cluster_max: jnp.ndarray  # (C, 3) f32
 
     @property
     def num_nodes(self) -> int:
         return self.node_min.shape[0]
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cluster_min.shape[0]
 
 
 def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
@@ -72,8 +87,92 @@ def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return (expand(x) << 2 | expand(y) << 1 | expand(z)).astype(np.uint32)
 
 
-def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> BVH:
-    """Build from (T, 3, 3) float32 triangle vertices."""
+def _build_ranges(total: int, leaf_size: int):
+    """Iterative DFS over [start, end) ranges.
+
+    Returns (start, end, skip, is_leaf) int64 arrays in DFS order.  The
+    tree shape depends only on range lengths (median split), so subtree
+    node counts are memoized and each left child's skip (its right
+    sibling's root index) is known at push time.
+    """
+
+    @lru_cache(maxsize=None)
+    def count(n: int) -> int:
+        if n <= leaf_size:
+            return 1
+        return 1 + count(n // 2) + count(n - n // 2)
+
+    n_nodes = count(total)
+    start = np.empty(n_nodes, np.int64)
+    end = np.empty(n_nodes, np.int64)
+    skip = np.empty(n_nodes, np.int64)
+    leaf = np.zeros(n_nodes, bool)
+
+    stack = [(0, total, n_nodes)]  # (s, e, skip); root's skip = sentinel
+    i = 0
+    while stack:
+        s, e, sk = stack.pop()
+        start[i], end[i], skip[i] = s, e, sk
+        ln = e - s
+        if ln <= leaf_size:
+            leaf[i] = True
+        else:
+            mid = s + ln // 2
+            right_root = i + 1 + count(ln // 2)
+            stack.append((mid, e, sk))  # right: inherits parent's skip
+            stack.append((s, mid, right_root))  # left: skip -> right subtree
+        i += 1
+    assert i == n_nodes
+    return start, end, skip, leaf
+
+
+def _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size):
+    """AABBs for every node: leaves vectorized (bounded range length),
+    inner nodes by one reverse child-merge pass (children of inner i are
+    i+1 and skip[i+1])."""
+    n = len(start)
+    bmin = np.empty((n, 3), np.float32)
+    bmax = np.empty((n, 3), np.float32)
+
+    lidx = np.nonzero(leaf)[0]
+    ls = start[lidx]
+    le = end[lidx]
+    lmin = np.full((len(lidx), 3), np.inf, np.float32)
+    lmax = np.full((len(lidx), 3), -np.inf, np.float32)
+    for k in range(leaf_size):
+        valid = ls + k < le
+        rows = np.minimum(ls + k, len(s_min) - 1)
+        lmin = np.where(valid[:, None], np.minimum(lmin, s_min[rows]), lmin)
+        lmax = np.where(valid[:, None], np.maximum(lmax, s_max[rows]), lmax)
+    bmin[lidx] = lmin
+    bmax[lidx] = lmax
+
+    inner = np.nonzero(~leaf)[0]
+    for i in inner[::-1]:  # reverse DFS: children already resolved
+        l = i + 1
+        r = skip[l]
+        bmin[i] = np.minimum(bmin[l], bmin[r])
+        bmax[i] = np.maximum(bmax[l], bmax[r])
+    return bmin, bmax
+
+
+CLUSTER_SIZE = 64  # triangles per cluster (big-scene Pallas tier)
+
+
+def build_bvh(
+    tri_verts: np.ndarray,
+    leaf_size: int = 4,
+    tri_normal: np.ndarray | None = None,
+    tri_mesh: np.ndarray | None = None,
+) -> BVH:
+    """Build from (T, 3, 3) float32 triangle vertices.
+
+    ``tri_normal`` (per-triangle representative unit normal) and
+    ``tri_mesh`` (mesh id per triangle) ride the packed table so the
+    Pallas cluster kernel can emit shading attributes with the hit.
+    """
+    from .pallas_trace import TRI_SUB, pack_tri_table
+
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
     assert T > 0, "empty scene"
@@ -92,73 +191,40 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> BVH:
     s_min = tmin[order]
     s_max = tmax[order]
 
-    # iterative DFS build over [start, end) ranges of the sorted list
-    node_min: list = []
-    node_max: list = []
-    node_skip: list = []
-    node_off: list = []
-    node_cnt: list = []
-
-    # Precompute prefix boxes? Simpler: compute range AABB via reduction on
-    # the fly (numpy slices are fast enough; total work O(T log T)).
-    def emit(start: int, end: int) -> int:
-        """Append subtree for range, return its root index."""
-        idx = len(node_min)
-        node_min.append(s_min[start:end].min(axis=0))
-        node_max.append(s_max[start:end].max(axis=0))
-        node_skip.append(-1)  # patched by caller
-        if end - start <= leaf_size:
-            node_off.append(start)
-            node_cnt.append(end - start)
-            return idx
-        node_off.append(0)
-        node_cnt.append(0)
-        mid = (start + end) // 2
-        left = emit(start, mid)
-        right = emit(mid, end)
-        # left child's skip -> right subtree root; right's skip patched later
-        node_skip[left] = right
-        # record children for skip patching via a second pass
-        _children[idx] = (left, right)
-        return idx
-
-    import sys
-
-    _children: dict[int, tuple[int, int]] = {}
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 10000))
-    try:
-        emit(0, T)
-    finally:
-        sys.setrecursionlimit(old_limit)
-
-    n = len(node_min)
-    skip = np.full(n, n, np.int32)
-
-    # second pass: propagate skip pointers top-down
-    # root skip = n (sentinel). For inner node i with children (l, r):
-    #   skip[l] = r (subtree start), skip[r] = skip[i].
-    for i in range(n):
-        if i in _children:
-            l, r = _children[i]
-            skip[l] = r
-            skip[r] = skip[i]
+    start, end, skip, leaf = _build_ranges(T, leaf_size)
+    bmin, bmax = _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size)
 
     v0 = tri_verts[order, 0]
     e1 = tri_verts[order, 1] - v0
     e2 = tri_verts[order, 2] - v0
 
-    from .pallas_trace import pack_tri_table
+    # cluster AABBs over fixed-size Morton runs (padded clusters inherit
+    # the last triangle's box, which is harmless for culling)
+    C = -(-T // CLUSTER_SIZE)
+    cmin = np.full((C, 3), np.inf, np.float32)
+    cmax = np.full((C, 3), -np.inf, np.float32)
+    cid = np.minimum(np.arange(T) // CLUSTER_SIZE, C - 1)
+    np.minimum.at(cmin, cid, s_min)
+    np.maximum.at(cmax, cid, s_max)
 
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
     f32 = partial(jnp.asarray, dtype=jnp.float32)
     i32 = partial(jnp.asarray, dtype=jnp.int32)
     return BVH(
-        tri_tab=pack_tri_table(v0, e1, e2, order),
-        node_min=f32(np.stack(node_min)),
-        node_max=f32(np.stack(node_max)),
+        tri_tab=pack_tri_table(
+            v0, e1, e2, order,
+            normal=None if tri_normal is None else np.asarray(tri_normal)[order],
+            mesh_id=None if tri_mesh is None else np.asarray(tri_mesh)[order],
+            area=area,
+            pad_to=CLUSTER_SIZE if T > 4096 else TRI_SUB,
+        ),
+        cluster_min=f32(cmin),
+        cluster_max=f32(cmax),
+        node_min=f32(bmin),
+        node_max=f32(bmax),
         node_skip=i32(skip),
-        node_tri_offset=i32(np.asarray(node_off)),
-        node_tri_count=i32(np.asarray(node_cnt)),
+        node_tri_offset=i32(np.where(leaf, start, 0)),
+        node_tri_count=i32(np.where(leaf, end - start, 0)),
         tri_v0=f32(v0),
         tri_e1=f32(e1),
         tri_e2=f32(e2),

@@ -135,17 +135,31 @@ def _any_kernel(n_chunks: int, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, 
 # host-side packing + call wrappers
 # ---------------------------------------------------------------------------
 
-def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id) -> jnp.ndarray:
-    """(T, 16) f32 table [v0, e1, e2, prim_id, pad]; rows padded to TRI_SUB
-    with degenerate triangles (e1=e2=0 -> det=0, never hit)."""
+def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
+                   area=None, pad_to: int = TRI_SUB) -> jnp.ndarray:
+    """(Tpad, 16) f32 table; rows padded to ``pad_to`` with degenerate
+    triangles (e1=e2=0 -> det=0, never hit).
+
+    Columns: 0-2 v0 | 3-5 e1 | 6-8 e2 | 9 prim_id | 10-12 representative
+    unit normal | 13 mesh_id | 14 area | 15 pad.  prim/mesh ids are exact
+    as f32 for ids < 2^24.  Columns 10-14 let the cluster kernel *select*
+    hit attributes during traversal instead of gathering per lane after
+    (XLA per-lane gathers measured 57 ms / 1M rays on v5e).
+    """
     T = tri_v0.shape[0]
-    Tp = -(-T // TRI_SUB) * TRI_SUB
+    Tp = -(-T // pad_to) * pad_to
     tab = np.zeros((Tp, 16), np.float32)
     tab[:T, 0:3] = np.asarray(tri_v0, np.float32)
     tab[:T, 3:6] = np.asarray(tri_e1, np.float32)
     tab[:T, 6:9] = np.asarray(tri_e2, np.float32)
     tab[:T, 9] = np.asarray(prim_id, np.float32)
     tab[T:, 9] = -1.0
+    if normal is not None:
+        tab[:T, 10:13] = np.asarray(normal, np.float32)
+    if mesh_id is not None:
+        tab[:T, 13] = np.asarray(mesh_id, np.float32)
+    if area is not None:
+        tab[:T, 14] = np.asarray(area, np.float32)
     return jnp.asarray(tab)
 
 

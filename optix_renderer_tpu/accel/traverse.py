@@ -69,9 +69,9 @@ BRUTE_MAX_TRIS = 4096  # measured crossover on v5e: chunked brute-force beats
 _BRUTE_CHUNK = 32
 
 # On TPU the Pallas sublane-chunk kernels (accel.pallas_trace) own the
-# brute-force tier; they raise the practical brute ceiling well above the
-# jnp crossover because every VPU op tests 8 triangles x 128 rays.
-PALLAS_BRUTE_MAX_TRIS = 16384
+# brute-force tier (every VPU op tests 8 triangles x 128 rays); above this
+# the clustered two-phase path (accel.pallas_cluster) takes over.
+PALLAS_BRUTE_MAX_TRIS = 4096
 
 
 def _on_cpu() -> bool:
@@ -87,10 +87,17 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
     jnp brute force on CPU, skip-link BVH walk for large scenes.  Returns
     Hit in ORIGINAL triangle ids."""
     T = bvh.tri_v0.shape[0]
-    if not _on_cpu() and T <= PALLAS_BRUTE_MAX_TRIS:
-        from .pallas_trace import trace_closest_tiles
+    if not _on_cpu():
+        if T <= PALLAS_BRUTE_MAX_TRIS:
+            from .pallas_trace import trace_closest_tiles
 
-        return trace_closest_tiles(bvh.tri_tab, rays, t_max=t_max)
+            return trace_closest_tiles(bvh.tri_tab, rays, t_max=t_max)
+        from .pallas_cluster import trace_closest_clusters
+
+        ch, _overflow = trace_closest_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
+        )
+        return Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
     if T <= BRUTE_MAX_TRIS:
         return trace_closest_brute(bvh, rays, t_min, t_max)
     return trace_closest_bvh(bvh, rays, t_min, t_max)
@@ -99,10 +106,17 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
 def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
     """Visibility query (see trace_closest for dispatch)."""
     T = bvh.tri_v0.shape[0]
-    if not _on_cpu() and T <= PALLAS_BRUTE_MAX_TRIS:
-        from .pallas_trace import trace_any_tiles
+    if not _on_cpu():
+        if T <= PALLAS_BRUTE_MAX_TRIS:
+            from .pallas_trace import trace_any_tiles
 
-        return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max)
+            return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max)
+        from .pallas_cluster import trace_any_clusters
+
+        occ, _overflow = trace_any_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
+        )
+        return occ
     if T <= BRUTE_MAX_TRIS:
         return trace_any_brute(bvh, rays, t_min, t_max)
     return trace_any_bvh(bvh, rays, t_min, t_max)

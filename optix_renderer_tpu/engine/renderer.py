@@ -23,7 +23,14 @@ from ..scene.config import Scene, SceneCamera
 from ..scene.device import DeviceScene, build_device_scene
 from . import camera as cameralib
 from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
-from .shade import build_surface_interaction
+
+
+def _block_dim(x: int) -> int:
+    """Largest pixel-block edge (<= 32) dividing x."""
+    for b in (32, 16, 8, 4, 2):
+        if x % b == 0:
+            return b
+    return 1
 
 
 def render_tile(
@@ -51,18 +58,35 @@ def render_tile(
 
     Returns (color (rows*width, 3), gbuffers (rows, ...), aux dict).
     """
-    from ..accel.traverse import trace_closest
+    from .shade import trace_closest_si
 
     n = rows * width
+    # Square pixel-block ray order: the clustered traversal tier culls per
+    # 4096-ray tile, and a tile of row-major rays is a degenerate 1-pixel-
+    # tall frustum.  Blocking is a pure reshape/transpose permutation (no
+    # gathers); RNG streams stay keyed by ABSOLUTE pixel id, so the image
+    # is bit-identical to row-major rendering.
+    bh = _block_dim(rows)
+    bw = _block_dim(width)
+
+    def block(a):  # pixel-major (n,) -> block-major
+        a4 = a.reshape(rows // bh, bh, width // bw, bw)
+        return jnp.moveaxis(a4, 1, 2).reshape(n)
+
+    def unblock(a):  # block-major (n, ...) -> pixel-major
+        rest = a.shape[1:]
+        a4 = a.reshape((rows // bh, width // bw, bh, bw) + tuple(rest))
+        return jnp.moveaxis(a4, 2, 1).reshape((n,) + tuple(rest))
+
     lin = (jnp.arange(n, dtype=jnp.uint32)
            + jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(width))
+    lin = block(lin)
     # get_rng(accumId + 10007, pixel, dims) — deviceCode.cu:65-66
     rstate = rnglib.make_rng(accum_id + 10007, lin)
     rstate, ju = rnglib.lcg_randomf(rstate)
     rstate, jv = rnglib.lcg_randomf(rstate)
     rays = cameralib.primary_rays(camera, width, height, ju, jv, lin=lin)
-    hit = trace_closest(bvh, rays)
-    si = build_surface_interaction(ds, rays, hit)
+    si = trace_closest_si(ds, bvh, rays)
 
     aux: dict[str, jnp.ndarray] = {}
     if mode in GBUFFER_MODES:
@@ -84,17 +108,18 @@ def render_tile(
         color, rstate, aux = ratio_color(
             ds, bvh, rays, si, rstate, n_samples=ratio_samples
         )
-        aux = {k: v.reshape(rows, width, -1) for k, v in aux.items()}
+        aux = {k: unblock(v).reshape(rows, width, -1) for k, v in aux.items()}
     else:
         raise NotImplementedError(f"mode {mode}")
 
+    color = unblock(color)
     gb = GBuffers(
-        position=si.p.reshape(rows, width, 3),
-        normal=si.n_geom.reshape(rows, width, 3),
-        albedo=si.diffuse.reshape(rows, width, 3),
-        alpha=si.alpha.reshape(rows, width),
-        uv=si.uv.reshape(rows, width, 2),
-        material_id=si.material_id.astype(jnp.float32).reshape(rows, width),
+        position=unblock(si.p).reshape(rows, width, 3),
+        normal=unblock(si.n_geom).reshape(rows, width, 3),
+        albedo=unblock(si.diffuse).reshape(rows, width, 3),
+        alpha=unblock(si.alpha).reshape(rows, width),
+        uv=unblock(si.uv).reshape(rows, width, 2),
+        material_id=unblock(si.material_id.astype(jnp.float32)).reshape(rows, width),
     )
     return color, gb, aux
 
@@ -189,8 +214,16 @@ class Renderer:
         self.ratio_samples = ratio_samples
 
         self.device_scene = build_device_scene(scene, miss_color=miss_color)
-        tri_verts = np.asarray(self.device_scene.vertices)[np.asarray(self.device_scene.tri_index)]
-        self.bvh = build_bvh(tri_verts, leaf_size=leaf_size)
+        tri_idx = np.asarray(self.device_scene.tri_index)
+        tri_verts = np.asarray(self.device_scene.vertices)[tri_idx]
+        norms = np.asarray(self.device_scene.normals)[tri_idx].sum(axis=1)
+        norms /= np.maximum(np.linalg.norm(norms, axis=-1, keepdims=True), 1e-20)
+        self.bvh = build_bvh(
+            tri_verts,
+            leaf_size=leaf_size,
+            tri_normal=norms,
+            tri_mesh=np.asarray(self.device_scene.tri_mesh),
+        )
 
         self._frame = _jitted_frame_fn(
             self.mode, self.width, self.height, path_depth, ratio_samples

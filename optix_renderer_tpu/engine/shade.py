@@ -21,10 +21,8 @@ import jax.numpy as jnp
 
 from ..core import math as cm
 from ..core.types import Hit, Ray, SurfaceInteraction
-from ..scene.device import PACK_SLICES, DeviceScene
+from ..scene.device import ONEHOT_MAX_TRIS, PACK_SLICES, DeviceScene
 from ..scene.textures import sample_bilinear
-
-ONEHOT_MAX_TRIS = 4096
 
 
 def _finalize(ds, rays, hit, parts, miss_color):
@@ -130,3 +128,93 @@ def build_surface_interaction(
     if ds.num_tris <= ONEHOT_MAX_TRIS:
         return _shade_onehot(ds, rays, hit, miss_color)
     return _shade_gather(ds, rays, hit, miss_color)
+
+
+_ONEHOT_MAX_MESHES = 512
+
+
+def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
+    """(N, 9) per-lane mesh attributes [diffuse3, emit3, alpha, is_light,
+    material_id] — exact-precision one-hot matmul for small mesh tables
+    (the TriangleMeshData record fetch of hit_miss.cuh via SBT)."""
+    M = ds.mesh_diffuse.shape[0]
+    pack = jnp.concatenate(
+        [
+            ds.mesh_diffuse,
+            ds.mesh_emit,
+            ds.mesh_alpha[:, None],
+            ds.mesh_is_light.astype(jnp.float32)[:, None],
+            ds.mesh_material_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (M, 9)
+    if M > _ONEHOT_MAX_MESHES:
+        return pack[mesh_id]
+    onehot = (mesh_id[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    return jnp.dot(
+        onehot, pack,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def build_surface_interaction_from_cluster(
+    ds: DeviceScene, rays: Ray, ch, miss_color: jnp.ndarray | None = None
+) -> SurfaceInteraction:
+    """SurfaceInteraction from a ClusterHit (big-scene Pallas tier).
+
+    The kernel already selected the winning triangle's representative
+    normal, mesh id and area during traversal (accel.pallas_cluster), so
+    the only remaining fetch is the small per-mesh material table.
+
+    Documented deviations of the big-scene fast path (vs hit_miss.cuh):
+    * n_geom is the triangle's *representative* normal (normalized sum of
+      its vertex normals) rather than barycentric-interpolated — exact for
+      flat-shaded geometry, approximate within a triangle for smooth
+      meshes;
+    * uv is 0 and diffuse textures are not sampled (use the gather path
+      for textured giga-scenes).
+    """
+    if miss_color is None:
+        miss_color = ds.miss_color
+    valid = ch.tri_id >= 0
+    p = rays.origin + ch.t[:, None] * rays.direction
+    rows = _mesh_attr_rows(ds, jnp.where(valid, ch.mesh_id, 0))
+    vmask = valid[:, None]
+    zero3 = jnp.zeros_like(p)
+    return SurfaceInteraction(
+        hit=valid,
+        p=jnp.where(vmask, p, zero3),
+        uv=jnp.zeros((p.shape[0], 2), jnp.float32),
+        n_geom=jnp.where(vmask, ch.normal, zero3),
+        diffuse=jnp.where(vmask, rows[:, 0:3], miss_color[None, :]),
+        alpha=jnp.where(valid, jnp.clip(rows[:, 6], 0.01, 1.0), 0.0),
+        emit=jnp.where(vmask, rows[:, 3:6], zero3),
+        is_light=valid & (rows[:, 7] > 0.5),
+        material_id=jnp.where(valid, rows[:, 8].astype(jnp.int32), 0),
+        area=jnp.where(valid, ch.area, 0.0),
+    )
+
+
+def trace_closest_si(
+    ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None
+) -> SurfaceInteraction:
+    """Trace + shade in one step, picking the fastest correct path for the
+    backend/scene size (the single entry point integrators should use).
+
+    On TPU above the brute tier this routes through the clustered Pallas
+    kernel whose hit already carries shading attributes — avoiding the
+    per-lane attribute gather entirely (measured 57 ms / 1M rays on v5e).
+    """
+    from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu, trace_closest
+
+    T = bvh.tri_v0.shape[0]
+    if not _on_cpu() and T > PALLAS_BRUTE_MAX_TRIS:
+        from ..accel.pallas_cluster import trace_closest_clusters
+
+        ch, _overflow = trace_closest_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
+        )
+        return build_surface_interaction_from_cluster(ds, rays, ch, miss_color)
+    hit = trace_closest(bvh, rays)
+    return build_surface_interaction(ds, rays, hit, miss_color)

@@ -86,8 +86,8 @@ def path_color(
     background, direct light hits get raw emission; everything else is the
     path estimate (floored at EPS per channel, path.cuh:254-256).
     """
-    from ..accel.traverse import trace_any, trace_closest
-    from ..engine.shade import build_surface_interaction
+    from ..accel.traverse import trace_any
+    from ..engine.shade import trace_closest_si
 
     n = rays.origin.shape[0]
     num_lights = ds.num_lights
@@ -163,8 +163,7 @@ def path_color(
         brdf = material.evaluate(wi_local, wo_local, s["diffuse"], s["alpha"])
         dir_world = cm.normalize(cm.apply_mat(to_world, wi_local), eps=1e-30)
         bounce_ray = Ray(origin=s["p"] + s["n"] * ray_eps, direction=dir_world)
-        bounce_hit = trace_closest(bvh, bounce_ray)
-        bounce_si = build_surface_interaction(ds, bounce_ray, bounce_hit)
+        bounce_si = trace_closest_si(ds, bvh, bounce_ray)
 
         hit_light = sample_ok & bounce_si.hit & bounce_si.is_light
         d2 = jnp.sum((bounce_si.p - s["p"]) ** 2, axis=-1)

@@ -99,6 +99,10 @@ class DeviceScene:
         return self.light_v1.shape[0]
 
 
+# largest scene (tris) that uses the packed one-hot attribute gather
+# (engine.shade dispatches to flat gathers / the cluster tier above this)
+ONEHOT_MAX_TRIS = 4096
+
 # tri_pack column layout (end-exclusive): see build_device_scene
 PACK_SLICES = {
     "v1": (0, 3), "v2": (3, 6), "v3": (6, 9),
@@ -191,21 +195,27 @@ def build_device_scene(scene: Scene, miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
     mesh_is_light_np = np.asarray([m.is_light for m in meshes], np.float32)
     mesh_matid_np = np.asarray([m.material_id for m in meshes], np.float32)
     mesh_dtex_np = np.asarray([m.diffuse_texture_id for m in meshes], np.float32)
-    tv1, tv2, tv3 = (all_v[all_tri[:, k]] for k in range(3))
-    tn1, tn2, tn3 = (all_n[all_tri[:, k]] for k in range(3))
-    tu1, tu2, tu3 = (all_uv[all_tri[:, k]] for k in range(3))
-    tri_area = 0.5 * np.linalg.norm(np.cross(tv1 - tv2, tv3 - tv2), axis=-1)
-    tri_pack = np.concatenate(
-        [
-            tv1, tv2, tv3, tn1, tn2, tn3, tu1, tu2, tu3,
-            mesh_diffuse_np[all_mesh], mesh_emit_np[all_mesh],
-            mesh_alpha_np[all_mesh][:, None], mesh_is_light_np[all_mesh][:, None],
-            mesh_matid_np[all_mesh][:, None], tri_area[:, None].astype(np.float32),
-            mesh_dtex_np[all_mesh][:, None],
-        ],
-        axis=1,
-    ).astype(np.float32)
-    assert tri_pack.shape[1] == PACK_K
+    # tri_pack feeds only the small-scene one-hot gather (engine.shade
+    # dispatches away from it above ONEHOT_MAX_TRIS); don't pay the ~140MB
+    # upload for big scenes.
+    if len(all_tri) <= ONEHOT_MAX_TRIS:
+        tv1, tv2, tv3 = (all_v[all_tri[:, k]] for k in range(3))
+        tn1, tn2, tn3 = (all_n[all_tri[:, k]] for k in range(3))
+        tu1, tu2, tu3 = (all_uv[all_tri[:, k]] for k in range(3))
+        tri_area = 0.5 * np.linalg.norm(np.cross(tv1 - tv2, tv3 - tv2), axis=-1)
+        tri_pack = np.concatenate(
+            [
+                tv1, tv2, tv3, tn1, tn2, tn3, tu1, tu2, tu3,
+                mesh_diffuse_np[all_mesh], mesh_emit_np[all_mesh],
+                mesh_alpha_np[all_mesh][:, None], mesh_is_light_np[all_mesh][:, None],
+                mesh_matid_np[all_mesh][:, None], tri_area[:, None].astype(np.float32),
+                mesh_dtex_np[all_mesh][:, None],
+            ],
+            axis=1,
+        ).astype(np.float32)
+        assert tri_pack.shape[1] == PACK_K
+    else:
+        tri_pack = np.zeros((1, PACK_K), np.float32)
 
     return DeviceScene(
         tri_pack=f32(tri_pack),
