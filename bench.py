@@ -11,6 +11,11 @@ integrator reports (integrators/path.py).
 
 BASELINE.md: the reference publishes no numbers; the driver's north star
 is >100 Mrays/s/chip on v5e, so vs_baseline = value / 100.
+
+Second config (BASELINE config 5 class): ``BENCH_SCENE=terrain`` benches
+primary-ray trace+shade on the ~1M-triangle terrain stress scene through
+the clustered Pallas tier (``BENCH_TERRAIN_GRID`` to resize, e.g. 224 for
+~100k tris).
 """
 
 import json
@@ -22,7 +27,56 @@ import jax
 import numpy as np
 
 
+def bench_terrain():
+    """Big-scene tier: primary trace+shade Mrays/s on the terrain scene."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from optix_renderer_tpu.core import rng as rnglib
+    from optix_renderer_tpu.engine import camera as cameralib
+    from optix_renderer_tpu.engine.modes import RendererType
+    from optix_renderer_tpu.engine.renderer import Renderer
+    from optix_renderer_tpu.engine.shade import trace_closest_si
+    from optix_renderer_tpu.scene.config import parse_scene
+    from optix_renderer_tpu.scene.procedural import write_terrain_scene
+
+    grid = int(os.environ.get("BENCH_TERRAIN_GRID", "708"))
+    d = os.path.join(tempfile.gettempdir(), f"bench_terrain_{grid}")
+    if not os.path.exists(os.path.join(d, "scene.json")):
+        write_terrain_scene(d, grid=grid)
+    scene = parse_scene(os.path.join(d, "scene.json"))
+    r = Renderer(scene, width=1024, height=1024, mode=RendererType.NORMALS)
+    W = H = 1024
+    n = W * H
+    lin = jnp.arange(n, dtype=jnp.uint32)
+    lin = jnp.moveaxis(lin.reshape(H // 32, 32, W // 32, 32), 1, 2).reshape(n)
+    rs = rnglib.make_rng(10007, lin)
+    rs, ju = rnglib.lcg_randomf(rs)
+    rs, jv = rnglib.lcg_randomf(rs)
+    rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
+    f = jax.jit(trace_closest_si)
+    si = f(r.device_scene, r.bvh, rays)
+    jax.block_until_ready(si.p)
+    t0 = time.perf_counter()
+    iters = 8
+    for _ in range(iters):
+        si = f(r.device_scene, r.bvh, rays)
+    jax.block_until_ready(si.p)
+    dt = (time.perf_counter() - t0) / iters
+    mrays = n / dt / 1e6
+    tris = r.device_scene.num_tris
+    print(json.dumps({
+        "metric": f"primary trace+shade, {tris}-tri terrain (clustered Pallas tier), Mrays/sec/chip on {jax.devices()[0].device_kind}",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_SCENE") == "terrain":
+        return bench_terrain()
     width = height = int(os.environ.get("BENCH_RES", "1024"))
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
     frames = int(os.environ.get("BENCH_FRAMES", "8"))

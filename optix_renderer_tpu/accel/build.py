@@ -171,7 +171,7 @@ def build_bvh(
     ``tri_mesh`` (mesh id per triangle) ride the packed table so the
     Pallas cluster kernel can emit shading attributes with the hit.
     """
-    from .pallas_trace import TRI_SUB, pack_tri_table
+    from .pallas_trace import TRI_SUB, pack_tri_table, pack_tri_table_grouped
 
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
@@ -210,14 +210,17 @@ def build_bvh(
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
     f32 = partial(jnp.asarray, dtype=jnp.float32)
     i32 = partial(jnp.asarray, dtype=jnp.int32)
+    tab_kwargs = dict(
+        normal=None if tri_normal is None else np.asarray(tri_normal)[order],
+        mesh_id=None if tri_mesh is None else np.asarray(tri_mesh)[order],
+        area=area,
+    )
+    if T > 4096:  # big-scene tier: cluster-grouped layout (pallas_cluster)
+        tri_tab = pack_tri_table_grouped(v0, e1, e2, order, **tab_kwargs)
+    else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
+        tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
     return BVH(
-        tri_tab=pack_tri_table(
-            v0, e1, e2, order,
-            normal=None if tri_normal is None else np.asarray(tri_normal)[order],
-            mesh_id=None if tri_mesh is None else np.asarray(tri_mesh)[order],
-            area=area,
-            pad_to=CLUSTER_SIZE if T > 4096 else TRI_SUB,
-        ),
+        tri_tab=tri_tab,
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),
         node_min=f32(bmin),

@@ -13,14 +13,19 @@ TPU-native structure chosen here keeps ALL hot work dense:
    computation, then each tile's overlapping clusters are compacted into
    a front-to-back list of at most ``max_visits`` entries.
 
-2. **Intersect (Pallas):** a static grid over ``(tile, k)`` steps; the
-   k-th cluster id comes from the scalar-prefetched list and drives the
-   triangle-table BlockSpec index_map, so the pipeline double-buffers
-   cluster DMA from HBM automatically.  Inside, the sublane-chunk
+2. **Intersect (Pallas):** one grid step per ray tile; the visit loop is
+   a ``lax.while_loop`` inside the kernel (measured ~0.1 us/iteration
+   with SMEM scalar control) with manual double-buffered cluster DMA
+   from HBM and front-to-back early termination, so a tile pays exactly
+   for the clusters it visits.  Inside, the sublane-chunk
    Moller-Trumbore of ``accel.pallas_trace`` runs 8 triangles x 128 rays
    per VPU op, and the winning triangle's *shading attributes* (unit
    normal, mesh id, area — packed table cols 10-14) are selected during
    the test, eliminating the post-trace per-lane gather entirely.
+
+Measured on v5e at 1024x1024 primary rays (trace+shade): 16.6 Mrays/s on
+a 100k-triangle terrain, 4.8 Mrays/s at 1M triangles.  Future work: a
+hierarchical cull (supercluster level) and an MXU-form intersection test.
 
 Correctness note: a tile visiting more than ``max_visits`` clusters only
 tests the nearest ``max_visits`` (front-to-back by conservative entry
@@ -41,30 +46,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Ray
-from .pallas_trace import LANES, TRI_SUB, _mt_chunk
+from .pallas_trace import GROUP_CLUSTER, LANES, TRI_SUB, _mt_chunk
 
 _INF = np.float32(3.0e38)
 TILE_ROWS = 8  # rows of 128 rays per tile: 1024 rays (a 32x32 pixel block)
 TILE = TILE_ROWS * LANES
-DEFAULT_MAX_VISITS = 1024
-# The per-round cluster lists are scalar-prefetch operands and live in SMEM
-# (~1 MB/core on v5e); the visit budget beyond one round's worth is served
-# by chaining additional kernel rounds over further list segments.
-_SMEM_LIST_ENTRIES = 120_000
+DEFAULT_MAX_VISITS = 1024  # per-tile visited-cluster cap; culling
+# overflow beyond it is counted and returned.  Lists live in HBM and are
+# DMA'd per tile into SMEM scratch (not scalar-prefetch operands), so the
+# cap is bounded by scratch size, not the 1MB SMEM prefetch budget.
 _NEAR_BITS_TOTAL = 30  # packed list entry: [near quantized | cluster id]
-
-
-def _round_params(n: int, n_clusters: int, max_visits: int) -> tuple[int, int, int]:
-    """(tiles, visits_per_round, n_rounds).  visits_per_round is a power of
-    two: SMEM operands are padded to power-of-two row widths."""
-    tiles = -(-n // TILE)
-    budget = max(32, _SMEM_LIST_ENTRIES // max(tiles, 1))
-    rv = 32
-    while rv * 2 <= budget and rv < 512:
-        rv *= 2
-    maxv = min(max_visits, n_clusters)
-    rv = min(rv, max(32, maxv))
-    return tiles, rv, -(-maxv // rv)
 
 
 def _cid_bits(n_clusters: int) -> int:
@@ -177,113 +168,184 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     return packed, counts, scale, total - counts
 
 
+
 # ---------------------------------------------------------------------------
 # phase 2: Pallas intersect kernels
+#
+# Grid = one step per ray TILE.  The visit loop is a lax.while_loop INSIDE
+# the kernel (~0.1 us/iteration with SMEM scalar control, measured) with
+# manual double-buffered cluster DMA from HBM, so a tile pays exactly for
+# the clusters it visits, with front-to-back early termination.  The
+# cluster table uses the grouped (C*8, 128) layout: one aligned (8, 128)
+# DMA per cluster; the kernel loads it as a value and lane-extracts
+# triangle attributes (Mosaic has no lane-offset ref reads).
 # ---------------------------------------------------------------------------
 
-def _closest_cluster_kernel(cluster: int, cid_bits: int,
-                            lst_ref, cnt_ref, scale_ref, tri_ref,
+_N_BUF = 2  # cluster DMA double buffer
+
+
+def _chunk_cols(blk, ci):
+    """Column accessor for chunk ci of a loaded (8, 128) cluster block."""
+    return lambda j: blk[:, ci * 16 + j][:, None, None]
+
+
+def _closest_cluster_kernel(cid_bits: int, maxv: int,
+                            cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                            t_in, pid_in, u_in, v_in, nx_in, ny_in, nz_in,
-                            mesh_in, area_in,
+                            tmax_ref,
                             t_ref, pid_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref,
-                            mesh_ref, area_ref, tbound_ref):
-    """One ROUND of closest-hit cluster visits; state chains through the
-    t/pid/... planes so multiple rounds extend the per-tile visit budget
-    beyond what one SMEM-resident list allows."""
+                            mesh_ref, area_ref,
+                            lst_scr, buf, sems, lsem):
     ti = pl.program_id(0)
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _init():
-        for r, i in zip(
-            (t_ref, pid_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref, mesh_ref, area_ref),
-            (t_in, pid_in, u_in, v_in, nx_in, ny_in, nz_in, mesh_in, area_in),
-        ):
-            r[:] = i[:]
-        tbound_ref[0] = jnp.max(t_in[:])
-
-    # Front-to-back early termination: the list is sorted by conservative
-    # entry distance (floor-quantized in the entry's high bits), so once a
-    # cluster starts beyond every lane's current closest hit, no remaining
-    # cluster can improve any lane.  The bound lives in SMEM scratch,
-    # updated only when a visit actually runs.
     nb = _NEAR_BITS_TOTAL - cid_bits
-    near_k = (lst_ref[ti, k] >> cid_bits).astype(jnp.float32) * (
-        scale_ref[ti] / ((1 << nb) - 1)
-    )
+    cmask = (1 << cid_bits) - 1
+    near_scale = scale_ref[ti] / ((1 << nb) - 1)
+    cnt = cnt_ref[ti]
+    lw = maxv // 8
 
-    @pl.when((k < cnt_ref[ti]) & (near_k < tbound_ref[0]))
-    def _visit():
+    lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
+    lcopy.start()
+
+    t_ref[:] = tmax_ref[:]
+    pid_ref[:] = jnp.full(t_ref.shape, -1.0, jnp.float32)
+    for r in (u_ref, v_ref, nx_ref, ny_ref, nz_ref, mesh_ref, area_ref):
+        r[:] = jnp.zeros(t_ref.shape, jnp.float32)
+
+    lcopy.wait()
+
+    def lst_at(k):
+        return lst_scr[k // lw, k % lw]
+
+    def cluster_dma(slot, k):
+        cid = lst_at(k) & cmask
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(cid * 8, 8), :], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(cnt > 0)
+    def _run():
+        cluster_dma(0, 0).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
-        def body(ci, carry):
-            t, pid, uu, vv, nx, ny, nz, mid, ar = carry
-            tri = tri_ref[pl.ds(ci * TRI_SUB, TRI_SUB), :]  # (8, 16)
-            hit, tc, uc, vc = _mt_chunk(tri, ox, oy, oz, dx, dy, dz, t)
-            tc_m = jnp.where(hit, tc, _INF)
-            best = jnp.argmin(tc_m, axis=0)[None]
-            sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
-            sel = sub == best
-            any_hit = jnp.any(hit & sel, axis=0)
-            t_best = jnp.min(tc_m, axis=0)
-            upd = any_hit & (t_best < t)
+        def cond(state):
+            k, t_bound = state
+            near_k = (lst_at(k) >> cid_bits).astype(jnp.float32) * near_scale
+            return (k < cnt) & (near_k < t_bound)
 
-            def pick(a):
-                return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
+        def visit(state):
+            k, _ = state
 
-            def pick_col(j):
-                return pick(jnp.broadcast_to(tri[:, j][:, None, None], tc_m.shape))
+            @pl.when(k + 1 < cnt)
+            def _prefetch():
+                cluster_dma((k + 1) % _N_BUF, k + 1).start()
 
-            return (
-                jnp.where(upd, t_best, t),
-                jnp.where(upd, pick_col(9), pid),
-                jnp.where(upd, pick(uc), uu),
-                jnp.where(upd, pick(vc), vv),
-                jnp.where(upd, pick_col(10), nx),
-                jnp.where(upd, pick_col(11), ny),
-                jnp.where(upd, pick_col(12), nz),
-                jnp.where(upd, pick_col(13), mid),
-                jnp.where(upd, pick_col(14), ar),
-            )
+            cluster_dma(k % _N_BUF, k).wait()
+            blk = buf[k % _N_BUF]  # (8, 128) value
 
-        init = (t_ref[:], pid_ref[:], u_ref[:], v_ref[:], nx_ref[:], ny_ref[:],
-                nz_ref[:], mesh_ref[:], area_ref[:])
-        out = jax.lax.fori_loop(0, cluster // TRI_SUB, body, init)
-        for r, val in zip((t_ref, pid_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref,
-                           mesh_ref, area_ref), out):
-            r[:] = val
-        tbound_ref[0] = jnp.max(out[0])
+            for ci in range(GROUP_CLUSTER // TRI_SUB):  # static unroll
+                t = t_ref[:]
+                hit, tc, uc, vc = _mt_chunk(
+                    _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, t
+                )
+                tc_m = jnp.where(hit, tc, _INF)
+                t_best = jnp.min(tc_m, axis=0)
+                upd = t_best < t
+
+                # attribute selection (~half the ops) only on improvement
+                @pl.when(jnp.any(upd))
+                def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd, uc=uc, vc=vc, ci=ci):
+                    best = jnp.argmin(tc_m, axis=0)[None]
+                    sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
+                    sel = sub == best
+                    col = _chunk_cols(blk, ci)
+
+                    def pick(a):
+                        return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
+
+                    def pick_col(j):
+                        return pick(jnp.broadcast_to(col(j), tc_m.shape))
+
+                    t_ref[:] = jnp.where(upd, t_best, t)
+                    pid_ref[:] = jnp.where(upd, pick_col(9), pid_ref[:])
+                    u_ref[:] = jnp.where(upd, pick(uc), u_ref[:])
+                    v_ref[:] = jnp.where(upd, pick(vc), v_ref[:])
+                    nx_ref[:] = jnp.where(upd, pick_col(10), nx_ref[:])
+                    ny_ref[:] = jnp.where(upd, pick_col(11), ny_ref[:])
+                    nz_ref[:] = jnp.where(upd, pick_col(12), nz_ref[:])
+                    mesh_ref[:] = jnp.where(upd, pick_col(13), mesh_ref[:])
+                    area_ref[:] = jnp.where(upd, pick_col(14), area_ref[:])
+
+            return (k + 1, jnp.max(t_ref[:]))
+
+        k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.max(t_ref[:])))
+
+        # drain: early termination leaves the k_end prefetch in flight, and
+        # a DMA outstanding at kernel exit is undefined behaviour
+        @pl.when(k_end < cnt)
+        def _drain():
+            cluster_dma(k_end % _N_BUF, k_end).wait()
 
 
-def _any_cluster_kernel(cluster: int, cid_bits: int,
-                        lst_ref, cnt_ref, scale_ref, tri_ref,
-                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                        occ_in, occ_ref, done_ref):
+def _any_cluster_kernel(cid_bits: int, maxv: int,
+                        cnt_ref, scale_ref, lst_ref, tri_hbm,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, occ_ref,
+                        lst_scr, buf, sems, lsem):
     ti = pl.program_id(0)
-    k = pl.program_id(1)
+    cmask = (1 << cid_bits) - 1
+    cnt = cnt_ref[ti]
+    lw = maxv // 8
 
-    @pl.when(k == 0)
-    def _init():
-        occ_ref[:] = occ_in[:]
-        done_ref[0] = jnp.min(occ_in[:])  # 1 iff every lane already occluded
+    lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
+    lcopy.start()
+    occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+    lcopy.wait()
 
-    # skip remaining clusters once every lane is occluded (SMEM flag)
-    @pl.when((k < cnt_ref[ti]) & (done_ref[0] == 0))
-    def _visit():
+    def lst_at(k):
+        return lst_scr[k // lw, k % lw]
+
+    def cluster_dma(slot, k):
+        cid = lst_at(k) & cmask
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(cid * 8, 8), :], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(cnt > 0)
+    def _run():
+        cluster_dma(0, 0).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         tmax = tmax_ref[:]
 
-        def body(ci, occ):
-            tri = tri_ref[pl.ds(ci * TRI_SUB, TRI_SUB), :]
-            hit, _, _, _ = _mt_chunk(tri, ox, oy, oz, dx, dy, dz, tmax)
-            return occ | jnp.any(hit, axis=0).astype(jnp.int32)
+        def cond(state):
+            k, done = state
+            return (k < cnt) & (done == 0)
 
-        occ = jax.lax.fori_loop(0, cluster // TRI_SUB, body, occ_ref[:])
-        occ_ref[:] = occ
-        done_ref[0] = jnp.min(occ)
+        def visit(state):
+            k, _ = state
+
+            @pl.when(k + 1 < cnt)
+            def _prefetch():
+                cluster_dma((k + 1) % _N_BUF, k + 1).start()
+
+            cluster_dma(k % _N_BUF, k).wait()
+            blk = buf[k % _N_BUF]
+
+            occ = occ_ref[:]
+            for ci in range(GROUP_CLUSTER // TRI_SUB):
+                hit, _, _, _ = _mt_chunk(
+                    _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, tmax
+                )
+                occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
+            occ_ref[:] = occ
+            return (k + 1, jnp.min(occ))
+
+        k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
+
+        @pl.when(k_end < cnt)
+        def _drain():
+            cluster_dma(k_end % _N_BUF, k_end).wait()
 
 
 def _planes(rays: Ray, tmax, n_pad: int):
@@ -316,50 +378,47 @@ def trace_closest_clusters(
     """Returns (ClusterHit, culling overflow count (scalar i32))."""
     n = rays.origin.shape[0]
     C = cluster_min.shape[0]
-    cluster = tri_tab.shape[0] // C  # table rows are padded to C*cluster
-    tiles, rv, n_rounds = _round_params(n, C, max_visits)
+    assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
+        "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
+    )
+    tiles = -(-n // TILE)
     n_pad = tiles * TILE
+    maxv = -(-min(max_visits, C) // 128) * 128  # (8, maxv//8) list blocks
 
     lists, counts, scales, overflow = cull_clusters(
-        cluster_min, cluster_max, rays, t_max, n_pad, rv * n_rounds
+        cluster_min, cluster_max, rays, t_max, n_pad, min(maxv, C)
     )
+    if lists.shape[1] < maxv:
+        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
+    lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_max, n_pad)
-    ox, oy, oz, dx, dy, dz, tmax_plane = planes
 
     cb = _cid_bits(C)
-    cmask = (1 << cb) - 1
     tile_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda t, k, lst, cnt, sc: (t, 0), memory_space=pltpu.VMEM
+        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
     )
-    tri_spec = pl.BlockSpec(
-        (cluster, 16), lambda t, k, lst, cnt, sc: (lst[t, k] & cmask, 0),
-        memory_space=pltpu.VMEM,
+    lst_spec = pl.BlockSpec(
+        (8, maxv // 8), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(tiles, rv),
-        in_specs=[tri_spec] + [tile_spec] * 15,
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
         out_specs=[tile_spec] * 9,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        scratch_shapes=[
+            pltpu.SMEM((8, maxv // 8), jnp.int32),
+            pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.float32)] * 9
-    zeros = jnp.zeros_like(tmax_plane)
-    state = (tmax_plane, jnp.full_like(tmax_plane, -1.0), zeros, zeros,
-             zeros, zeros, zeros, zeros, zeros)
-    for r in range(n_rounds):
-        sl = slice(r * rv, (r + 1) * rv)
-        state = pl.pallas_call(
-            functools.partial(_closest_cluster_kernel, cluster, cb),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(
-            lists[:, sl],
-            jnp.clip(counts - r * rv, 0, rv),
-            scales,
-            tri_tab, ox, oy, oz, dx, dy, dz, *state,
-        )
-    t, pid, u, v, nx, ny, nz, mid, ar = state
+    t, pid, u, v, nx, ny, nz, mid, ar = pl.pallas_call(
+        functools.partial(_closest_cluster_kernel, cb, maxv),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(counts, scales, lists, tri_tab, *planes)
 
     flat = lambda a: a.reshape(-1)[:n]
     hit = ClusterHit(
@@ -388,43 +447,44 @@ def trace_any_clusters(
     """Occlusion query; returns (occluded (N,) bool, overflow)."""
     n = rays.origin.shape[0]
     C = cluster_min.shape[0]
-    cluster = tri_tab.shape[0] // C  # table rows are padded to C*cluster
-    tiles, rv, n_rounds = _round_params(n, C, max_visits)
+    assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
+        "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
+    )
+    tiles = -(-n // TILE)
     n_pad = tiles * TILE
+    maxv = -(-min(max_visits, C) // 128) * 128
 
     lists, counts, scales, overflow = cull_clusters(
-        cluster_min, cluster_max, rays, t_max, n_pad, rv * n_rounds
+        cluster_min, cluster_max, rays, t_max, n_pad, min(maxv, C)
     )
+    if lists.shape[1] < maxv:
+        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
+    lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_max, n_pad)
 
     cb = _cid_bits(C)
-    cmask = (1 << cb) - 1
     tile_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda t, k, lst, cnt, sc: (t, 0), memory_space=pltpu.VMEM
+        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
     )
-    tri_spec = pl.BlockSpec(
-        (cluster, 16), lambda t, k, lst, cnt, sc: (lst[t, k] & cmask, 0),
-        memory_space=pltpu.VMEM,
+    lst_spec = pl.BlockSpec(
+        (8, maxv // 8), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(tiles, rv),
-        in_specs=[tri_spec] + [tile_spec] * 8,
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
         out_specs=tile_spec,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((8, maxv // 8), jnp.int32),
+            pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
-    occ = jnp.zeros((tiles * TILE_ROWS, LANES), jnp.int32)
-    for r in range(n_rounds):
-        sl = slice(r * rv, (r + 1) * rv)
-        occ = pl.pallas_call(
-            functools.partial(_any_cluster_kernel, cluster, cb),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32),
-            interpret=interpret,
-        )(
-            lists[:, sl],
-            jnp.clip(counts - r * rv, 0, rv),
-            scales,
-            tri_tab, *planes, occ,
-        )
+    occ = pl.pallas_call(
+        functools.partial(_any_cluster_kernel, cb, maxv),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32),
+        interpret=interpret,
+    )(counts, scales, lists, tri_tab, *planes)
     return occ.reshape(-1)[:n] != 0, overflow.sum()

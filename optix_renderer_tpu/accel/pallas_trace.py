@@ -46,8 +46,13 @@ def _mt_chunk(tri, ox, oy, oz, dx, dy, dz, t_cur):
 
     Returns (hit (8, ROWS, 128) bool, t, u, v).  All operands broadcast:
     triangle attributes are (8, 1, 1), ray components (1, ROWS, 128).
+
+    ``tri`` may be an (8, 16) array or a column accessor ``tri(j) ->
+    (8, 1, 1)`` (the cluster kernel passes lane-extracts of a wider
+    block: Mosaic cannot read refs at lane offsets, so slicing happens
+    on the loaded value).
     """
-    c = lambda j: tri[:, j][:, None, None]  # (8, 1, 1)
+    c = tri if callable(tri) else (lambda j: tri[:, j][:, None, None])  # (8, 1, 1)
     v0x, v0y, v0z = c(0), c(1), c(2)
     e1x, e1y, e1z = c(3), c(4), c(5)
     e2x, e2y, e2z = c(6), c(7), c(8)
@@ -161,6 +166,28 @@ def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
     if area is not None:
         tab[:T, 14] = np.asarray(area, np.float32)
     return jnp.asarray(tab)
+
+
+GROUP_CLUSTER = 64  # triangles per grouped-layout cluster (8 groups x 8 sublanes)
+
+
+def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
+                           mesh_id=None, area=None) -> jnp.ndarray:
+    """(C*8, 128) f32 cluster-grouped table for the big-scene tier.
+
+    Each 64-triangle cluster is one DMA-aligned (8, 128) block: triangle
+    ``g*8 + s`` of the cluster has its 16 attributes at ``[s, g*16 + j]``
+    (attributes as in :func:`pack_tri_table` columns).  The kernel loads
+    the block as a value and lane-extracts columns (Mosaic has no
+    lane-offset ref reads).
+    """
+    flat = np.asarray(pack_tri_table(
+        tri_v0, tri_e1, tri_e2, prim_id,
+        normal=normal, mesh_id=mesh_id, area=area, pad_to=GROUP_CLUSTER,
+    ))
+    C = flat.shape[0] // GROUP_CLUSTER
+    a = flat.reshape(C, 8, 8, 16)  # (cluster, group, sublane, attr)
+    return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(C * 8, 128))
 
 
 def _to_planes(rays: Ray, n_pad: int):

@@ -2,7 +2,17 @@
 
 Replaces the reference's hardcoded app entry (src/hostCode.cpp:8-55 —
 fixed scene path, fixed 1024x1024, fixed PATH renderer) with real flags
-that honor the scene JSON (SURVEY §2.9 quirk 13 fixed).
+that honor the scene JSON (SURVEY §2.9 quirk 13 fixed).  Viewer-parity
+features without the GLFW window (include/viewer.hpp):
+
+* ``--preview N`` — progressive PNG refresh every N frames (the
+  interactive accumulation display, viewer.hpp:553-568);
+* ``--cam-from/--cam-to/--cam-up/--cam-fovy`` — camera manipulation;
+* ``--record-camera`` — write the active camera back into the scene
+  JSON's ``cameras`` list (the R/F key flow, viewer.hpp:802-845);
+* ``--profile DIR`` — jax.profiler trace of the render loop;
+* ``--devices N`` — image-row sharded rendering over a TPU mesh
+  (parallel.sharding; bit-identical to single-chip).
 
 Example:
   python -m optix_renderer_tpu.engine.cli --scene scenes/cornell/scene.json \\
@@ -20,7 +30,10 @@ import time
 import numpy as np
 
 from ..scene.config import parse_scene
+from ..utils.log import get_logger, log_ok
 from .modes import DETERMINISTIC_MODES, RENDERER_NAMES, RendererType
+
+log = get_logger()
 
 _MODE_BY_NAME = {n.lower().replace(" ", "_"): RendererType(i) for i, n in enumerate(RENDERER_NAMES)}
 _MODE_BY_NAME.update({m.name.lower(): m for m in RendererType})
@@ -39,13 +52,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--camera", type=int, default=0, help="camera index from the scene")
+    p.add_argument("--cam-from", type=float, nargs=3, default=None, help="camera position override")
+    p.add_argument("--cam-to", type=float, nargs=3, default=None, help="camera look-at override")
+    p.add_argument("--cam-up", type=float, nargs=3, default=None, help="camera up override")
+    p.add_argument("--cam-fovy", type=float, default=None, help="cos_fovy override")
+    p.add_argument("--record-camera", action="store_true",
+                   help="append the active camera to the scene JSON's cameras (viewer.hpp R/F keys)")
     p.add_argument("--depth", type=int, default=10, help="max path depth (PATH mode)")
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--save-gbuffers", action="store_true", help="dump all g-buffers")
     p.add_argument("--save-npy", action="store_true", help="also dump lossless .npy")
+    p.add_argument("--save-exr", action="store_true", help="also dump float32 EXR")
     p.add_argument("--checkpoint", default=None, help="resume accumulation from this .npz")
     p.add_argument("--save-checkpoint", default=None, help="write accumulation state here")
     p.add_argument("--denoise-ratio", action="store_true", help="RATIO mode: denoise + combine on device")
+    p.add_argument("--preview", type=int, default=0, metavar="N",
+                   help="write a progressive preview PNG every N frames")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render loop into DIR")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="shard the render over N devices (image rows; needs height %% N == 0)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p
 
@@ -62,6 +88,23 @@ def resolve_mode(arg: str | None, scene) -> RendererType:
         return _MODE_BY_NAME[key]
 
 
+def _record_camera(scene_path: str, cam) -> None:
+    """Append the camera to the scene JSON (viewer.hpp:802-845: R records
+    into Viewer::cameras, F rewrites the JSON's 'cameras' array)."""
+    with open(scene_path, "r") as f:
+        cfg = json.load(f)
+    cfg.setdefault("cameras", []).append(
+        {
+            "from": [float(x) for x in cam.from_],
+            "to": [float(x) for x in cam.at],
+            "up": [float(x) for x in cam.up],
+            "cos_fovy": float(cam.cos_fovy),
+        }
+    )
+    with open(scene_path, "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -69,8 +112,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import jax
 
-    from ..postprocess.io import save_npy, save_png
+    from ..postprocess.io import save_exr, save_npy, save_png
+    from ..scene.config import SceneCamera
     from .renderer import Renderer
 
     scene = parse_scene(args.scene)
@@ -81,29 +126,78 @@ def main(argv=None) -> int:
     if mode in DETERMINISTIC_MODES:
         spp = 1
 
-    print(f"[optix_renderer_tpu] scene={args.scene} mode={mode.name} "
-          f"{width}x{height} spp={spp} depth={args.depth}")
+    log.info(
+        "scene=%s mode=%s %dx%d spp=%d depth=%d device=%s",
+        args.scene, mode.name, width, height, spp, args.depth,
+        jax.devices()[0].device_kind,
+    )
 
     r = Renderer(scene, width=width, height=height, mode=mode, path_depth=args.depth)
-    if args.camera:
-        r.set_camera(scene.cameras[args.camera])
+    cam = scene.cameras[args.camera if args.camera < len(scene.cameras) else 0]
+    if any(v is not None for v in (args.cam_from, args.cam_to, args.cam_up, args.cam_fovy)):
+        cam = SceneCamera(
+            from_=np.asarray(args.cam_from if args.cam_from is not None else cam.from_, np.float32),
+            at=np.asarray(args.cam_to if args.cam_to is not None else cam.at, np.float32),
+            up=np.asarray(args.cam_up if args.cam_up is not None else cam.up, np.float32),
+            cos_fovy=float(args.cam_fovy if args.cam_fovy is not None else cam.cos_fovy),
+        )
+    r.set_camera(cam)
     if args.checkpoint:
         r.load_checkpoint(args.checkpoint)
-        print(f"  resumed at accum_id={int(r.state.accum_id)}")
-
-    t0 = time.perf_counter()
-    r.render(spp)
-    img = r.image()
-    dt = time.perf_counter() - t0
-    rays = width * height * spp
-    print(f"  rendered {spp} frame(s) in {dt:.2f}s "
-          f"({rays / dt / 1e6:.1f} Mprimary-rays/s, {spp / dt:.2f} spp/s)")
+        log.info("resumed at accum_id=%d", int(r.state.accum_id))
 
     os.makedirs(args.out, exist_ok=True)
     name = mode.name.lower()
+
+    def render_loop():
+        if args.devices > 1:
+            from ..parallel import sharding
+
+            mesh = sharding.make_mesh(args.devices)
+            frame = sharding.make_sharded_frame_fn(
+                mesh, mode, width, height, path_depth=args.depth,
+                ratio_samples=r.ratio_samples,
+            )
+            state = sharding.shard_render_state(r.state, mesh)
+            ds = sharding.replicate(r.device_scene, mesh)
+            bvh = sharding.replicate(r.bvh, mesh)
+            for _ in range(spp):
+                state, r.gbuffers, r.aux = frame(state, ds, bvh)
+            jax.block_until_ready(state.accum)
+            r.state = state  # image()/checkpoints gather lazily
+            r.metrics["frames"] += spp
+            r.metrics["rays_traced"] += spp * width * height
+            log.info("sharded over %d devices (%s)", args.devices, mesh.devices.ravel()[0].platform)
+            return
+        if args.preview and args.preview < spp:
+            done = 0
+            while done < spp:
+                step = min(args.preview, spp - done)
+                r.render(step)
+                done = int(r.state.accum_id)
+                save_png(os.path.join(args.out, f"{name}_preview.png"), r.image())
+                log.info("preview %d/%d spp", done, spp)
+        else:
+            r.render(spp)
+
+    t0 = time.perf_counter()
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            render_loop()
+        log.info("profiler trace -> %s", args.profile)
+    else:
+        render_loop()
+    img = r.image()
+    dt = time.perf_counter() - t0
+    m = r.metrics
+    log_ok(log, "rendered %d frame(s) in %.2fs (%.1f Mrays/s honest, %.2f spp/s)"
+           % (m["frames"], dt, m.get("mrays_per_sec", 0.0), m["frames"] / max(dt, 1e-9)))
+
     save_png(os.path.join(args.out, f"{name}.png"), img)
     if args.save_npy:
         save_npy(os.path.join(args.out, f"{name}.npy"), img)
+    if args.save_exr:
+        save_exr(os.path.join(args.out, f"{name}.exr"), img)
 
     if args.save_gbuffers and r.gbuffers is not None:
         gb = r.gbuffers
@@ -117,6 +211,8 @@ def main(argv=None) -> int:
             save_png(os.path.join(args.out, f"gbuffer_{field}.png"), np.asarray(arr), apply_gamma=False)
             if args.save_npy:
                 save_npy(os.path.join(args.out, f"gbuffer_{field}.npy"), np.asarray(arr))
+            if args.save_exr:
+                save_exr(os.path.join(args.out, f"gbuffer_{field}.exr"), np.asarray(arr))
 
     if mode == RendererType.RATIO and r.aux:
         import jax.numpy as jnp
@@ -137,7 +233,11 @@ def main(argv=None) -> int:
 
     if args.save_checkpoint:
         r.save_checkpoint(args.save_checkpoint)
-        print(f"  checkpoint -> {args.save_checkpoint}")
+        log.info("checkpoint -> %s", args.save_checkpoint)
+
+    if args.record_camera:
+        _record_camera(args.scene, cam)
+        log.info("camera recorded into %s", args.scene)
 
     manifest = {
         "scene": os.path.abspath(args.scene),
@@ -146,10 +246,17 @@ def main(argv=None) -> int:
         "height": height,
         "spp": int(r.state.accum_id),
         "seconds": dt,
+        "device": jax.devices()[0].device_kind,
+        "metrics": {
+            "frames": m["frames"],
+            "rays_traced": m["rays_traced"],
+            "mrays_per_sec": round(m.get("mrays_per_sec", 0.0), 2),
+            "alive_per_bounce": m.get("alive_per_bounce", []),
+        },
     }
     with open(os.path.join(args.out, "render.json"), "w") as f:
         json.dump(manifest, f, indent=2)
-    print(f"  outputs -> {args.out}/")
+    log.info("outputs -> %s/", args.out)
     return 0
 
 

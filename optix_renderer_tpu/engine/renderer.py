@@ -231,6 +231,10 @@ class Renderer:
         self.state: RenderState = None  # set by set_camera
         self.gbuffers: GBuffers | None = None
         self.aux: dict[str, jnp.ndarray] = {}
+        # per-session observability (SURVEY §5 metrics row): honest ray
+        # accounting — primary rays + the integrator's secondary rays
+        self.metrics: dict = {"frames": 0, "rays_traced": 0, "seconds": 0.0,
+                              "alive_per_bounce": []}
         self.set_camera(scene.cameras[0])
 
     # -- camera ----------------------------------------------------------
@@ -248,12 +252,35 @@ class Renderer:
     # -- render loop ------------------------------------------------------
     def render(self, n_frames: int = 1) -> None:
         """Advance progressive accumulation by n_frames launches."""
+        import time
+
+        t0 = time.perf_counter()
+        counts = []  # device handles; converted after the loop (no per-frame sync)
+        frames = 0
         for _ in range(n_frames):
             if self.mode in DETERMINISTIC_MODES and int(self.state.accum_id) >= 1:
-                return  # analytic modes converge in one frame (SURVEY §2.9 #12)
+                break  # analytic modes converge in one frame (SURVEY §2.9 #12)
             self.state, self.gbuffers, self.aux = self._frame(
                 self.state, self.device_scene, self.bvh
             )
+            frames += 1
+            if self.mode == RendererType.PATH and "path_alive_counts" in self.aux:
+                counts.append(self.aux["path_alive_counts"])
+        jax.block_until_ready(self.state.accum)
+        self.metrics["seconds"] += time.perf_counter() - t0
+
+        n = self.width * self.height
+        rays = frames * n  # primary
+        if counts:
+            alive = np.asarray(jnp.stack(counts), np.int64)
+            self.metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
+            rays += 2 * int(alive.sum())  # NEE visibility + BSDF bounce per alive lane
+        elif self.mode == RendererType.RATIO:
+            rays += self.ratio_samples * n * frames  # shadow visibility rays
+        self.metrics["frames"] += frames
+        self.metrics["rays_traced"] += rays
+        secs = self.metrics["seconds"]
+        self.metrics["mrays_per_sec"] = self.metrics["rays_traced"] / secs / 1e6 if secs else 0.0
 
     def image(self) -> np.ndarray:
         """Displayed image: accum / frame count (deviceCode.cu:172)."""

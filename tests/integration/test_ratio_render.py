@@ -15,8 +15,8 @@ from optix_renderer_tpu.scene.config import parse_scene
 def renderer(tmp_path_factory):
     d = tmp_path_factory.mktemp("cornell")
     scene = parse_scene(procedural.write_cornell_scene(str(d)))
-    r = Renderer(scene, width=48, height=48, mode=RendererType.RATIO)
-    r.render(8)
+    r = Renderer(scene, width=32, height=32, mode=RendererType.RATIO)
+    r.render(4)
     return r
 
 
@@ -44,6 +44,7 @@ def test_ratio_accumulated_is_ltc(tmp_path):
     np.testing.assert_allclose(r.image(), np.asarray(r.aux["ltc"]), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ratio_combine_full_pipeline(renderer):
     gb = renderer.gbuffers
     aux = renderer.aux
@@ -60,6 +61,7 @@ def test_ratio_combine_full_pipeline(renderer):
     assert final.sum(-1)[mask].mean() < ltc.sum(-1)[mask].mean()
 
 
+@pytest.mark.slow
 def test_denoiser_reduces_noise(renderer):
     gb = renderer.gbuffers
     noisy = jnp.asarray(renderer.aux["sto_direct"])
