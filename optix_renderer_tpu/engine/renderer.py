@@ -27,6 +27,9 @@ from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
 
 def _block_dim(x: int) -> int:
     """Largest pixel-block edge (<= 32) dividing x."""
+    import os
+    if os.environ.get("OPTIX_TPU_NO_BLOCKING"):
+        return 1
     for b in (32, 16, 8, 4, 2):
         if x % b == 0:
             return b
@@ -232,9 +235,12 @@ class Renderer:
         self.gbuffers: GBuffers | None = None
         self.aux: dict[str, jnp.ndarray] = {}
         # per-session observability (SURVEY §5 metrics row): honest ray
-        # accounting — primary rays + the integrator's secondary rays
-        self.metrics: dict = {"frames": 0, "rays_traced": 0, "seconds": 0.0,
-                              "alive_per_bounce": []}
+        # accounting — primary rays + the integrator's secondary rays.
+        # Device-side counts drain lazily on .metrics access: any sync
+        # transfer inside the render loop costs tunnel round-trips.
+        self._metrics: dict = {"frames": 0, "rays_traced": 0, "seconds": 0.0,
+                               "alive_per_bounce": []}
+        self._pending_counts: list = []
         self.set_camera(scene.cameras[0])
 
     # -- camera ----------------------------------------------------------
@@ -255,7 +261,6 @@ class Renderer:
         import time
 
         t0 = time.perf_counter()
-        counts = []  # device handles; converted after the loop (no per-frame sync)
         frames = 0
         for _ in range(n_frames):
             if self.mode in DETERMINISTIC_MODES and int(self.state.accum_id) >= 1:
@@ -265,22 +270,32 @@ class Renderer:
             )
             frames += 1
             if self.mode == RendererType.PATH and "path_alive_counts" in self.aux:
-                counts.append(self.aux["path_alive_counts"])
+                self._pending_counts.append(self.aux["path_alive_counts"])
         jax.block_until_ready(self.state.accum)
-        self.metrics["seconds"] += time.perf_counter() - t0
+        self._metrics["seconds"] += time.perf_counter() - t0
 
         n = self.width * self.height
         rays = frames * n  # primary
-        if counts:
-            alive = np.asarray(jnp.stack(counts), np.int64)
-            self.metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
-            rays += 2 * int(alive.sum())  # NEE visibility + BSDF bounce per alive lane
-        elif self.mode == RendererType.RATIO:
+        if self.mode == RendererType.RATIO:
             rays += self.ratio_samples * n * frames  # shadow visibility rays
-        self.metrics["frames"] += frames
-        self.metrics["rays_traced"] += rays
-        secs = self.metrics["seconds"]
-        self.metrics["mrays_per_sec"] = self.metrics["rays_traced"] / secs / 1e6 if secs else 0.0
+        self._metrics["frames"] += frames
+        self._metrics["rays_traced"] += rays
+
+    @property
+    def metrics(self) -> dict:
+        """Observability dict; drains device-side per-bounce counts on
+        access (keeps sync transfers out of the render loop)."""
+        if self._pending_counts:
+            alive = np.stack([np.asarray(c, np.int64) for c in self._pending_counts])
+            self._pending_counts = []
+            self._metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
+            # NEE visibility + BSDF bounce per alive lane per frame
+            self._metrics["rays_traced"] += 2 * int(alive.sum())
+        secs = self._metrics["seconds"]
+        self._metrics["mrays_per_sec"] = (
+            self._metrics["rays_traced"] / secs / 1e6 if secs else 0.0
+        )
+        return self._metrics
 
     def image(self) -> np.ndarray:
         """Displayed image: accum / frame count (deviceCode.cu:172)."""

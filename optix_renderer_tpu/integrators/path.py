@@ -197,6 +197,16 @@ def path_color(
             rng=rng,
         )
 
+    # Bounce loop: static fori_loop over max_depth with per-lane alive
+    # masks.  Two alternatives were measured on v5e and rejected:
+    # * a while_loop with all-dead early exit costs 2.6x at depth 4
+    #   (82.6 vs 218.5 Mrays/s on the Cornell bench — the dynamic trip
+    #   count blocks XLA's cross-bounce scheduling/fusion), and Cornell-
+    #   like closed scenes keep >15% of lanes alive through depth 8, so
+    #   the exit rarely fires where it would matter;
+    # * true ray compaction (sort + gather to dense buffers) is a
+    #   pessimization under XLA: per-lane gathers cost ~57 ms per 1M rays,
+    #   far more than the masked arithmetic they would save.
     out = jax.lax.fori_loop(0, max_depth, bounce, init)
 
     # EPS floor on the estimate (path.cuh:254-256), then the outer mode

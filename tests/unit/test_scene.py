@@ -69,3 +69,32 @@ def test_missing_materials_raises(tmp_path):
 
     with pytest.raises(RuntimeError):
         load_obj(str(p))  # Model.cpp:155-156 behaviour
+
+
+def test_native_loader_matches_python(tmp_path):
+    """The C++ geometry parser and the pure-Python fallback must produce
+    identical Models (same grouping, duplication, and index semantics)."""
+    import numpy as np
+    import pytest
+
+    from optix_renderer_tpu.native import parse_obj_native
+    from optix_renderer_tpu.scene import procedural
+    from optix_renderer_tpu.scene.obj_loader import _load_obj_from_native, _load_obj_python
+
+    procedural.write_cornell_scene(str(tmp_path))
+    for name in ("cornell.obj", "light.obj"):
+        path = str(tmp_path / name)
+        native = parse_obj_native(path)
+        if native is None:
+            pytest.skip("native loader unavailable (no compiler)")
+        a = _load_obj_from_native(path, native)
+        b = _load_obj_python(path)
+        assert len(a.meshes) == len(b.meshes)
+        for ma, mb in zip(a.meshes, b.meshes):
+            np.testing.assert_array_equal(ma.vertex, mb.vertex)
+            np.testing.assert_array_equal(ma.normal, mb.normal)
+            np.testing.assert_array_equal(ma.texcoord, mb.texcoord)
+            np.testing.assert_array_equal(ma.index, mb.index)
+            assert ma.material_id == mb.material_id
+            assert ma.diffuse_texture_id == mb.diffuse_texture_id
+        np.testing.assert_array_equal(a.bounds_min, b.bounds_min)
