@@ -46,6 +46,18 @@ CORNELL_CAMERA = {
     "cos_fovy": 0.66,
 }
 
+# three distinct area lights (multi-area-light config, BASELINE config 3):
+# warm quad near the ceiling center, cool quad at the left, green strip at
+# the right — different emissions exercise per-light pdf/emission pairing
+_MULTI_LIGHTS = [
+    ([(343, 548.7, 227), (343, 548.7, 332), (213, 548.7, 332), (213, 548.7, 227)],
+     (17.0, 12.0, 4.0)),
+    ([(120, 548.7, 100), (120, 548.7, 180), (40, 548.7, 180), (40, 548.7, 100)],
+     (2.0, 6.0, 14.0)),
+    ([(520, 548.7, 380), (520, 548.7, 460), (450, 548.7, 460), (450, 548.7, 380)],
+     (3.0, 12.0, 3.0)),
+]
+
 
 def _face_normal(q):
     v0, v1, v2 = (np.asarray(q[i], np.float64) for i in range(3))
@@ -73,6 +85,61 @@ def _emit_obj(quads_by_mtl: dict[str, list], mtllib: str) -> str:
                 "f " + " ".join(f"{i}//{n_count}" for i in ids)
             )
     return "\n".join(out + v_lines + vn_lines + f_chunks) + "\n"
+
+
+def write_cornell3_scene(
+    out_dir: str,
+    width: int = 512,
+    height: int = 512,
+    spp: int = 1,
+    roughness: float = 0.3,
+) -> str:
+    """Cornell box with THREE area lights of different emission
+    (multi-area-light scene for the ratio/LTC/MIS estimators — a single
+    light cannot distinguish 'sampled light' from 'hit light' semantics).
+    Returns the scene JSON path."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    mtl = (
+        "newmtl white\nKd 0.730 0.730 0.730\nNs {r}\n\n"
+        "newmtl red\nKd 0.650 0.050 0.050\nNs {r}\n\n"
+        "newmtl green\nKd 0.120 0.450 0.150\nNs {r}\n"
+    ).format(r=roughness)
+    with open(os.path.join(out_dir, "cornell.mtl"), "w") as f:
+        f.write(mtl)
+    obj = _emit_obj(
+        {"white": _WHITE_QUADS, "green": _GREEN_QUADS, "red": _RED_QUADS}, "cornell.mtl"
+    )
+    with open(os.path.join(out_dir, "cornell.obj"), "w") as f:
+        f.write(obj)
+
+    # one light mesh per emission (per-mesh emit, viewer.hpp:236-265)
+    mtl_lines = []
+    quads_by_mtl = {}
+    for i, (quad, emit) in enumerate(_MULTI_LIGHTS):
+        name = f"light{i}"
+        mtl_lines.append(
+            "newmtl {}\nKd 0.780 0.780 0.780\nNs 1.0\nKe {} {} {}\n".format(name, *emit)
+        )
+        quads_by_mtl[name] = [quad]
+    with open(os.path.join(out_dir, "light.mtl"), "w") as f:
+        f.write("\n".join(mtl_lines))
+    with open(os.path.join(out_dir, "light.obj"), "w") as f:
+        f.write(_emit_obj(quads_by_mtl, "light.mtl"))
+
+    scene = {
+        "spp": spp,
+        "width": width,
+        "height": height,
+        "renderers": [9],
+        "cameras": [CORNELL_CAMERA],
+        "surface_geometry": "cornell.obj",
+        "area_lights": "light.obj",
+    }
+    path = os.path.join(out_dir, "scene.json")
+    with open(path, "w") as f:
+        json.dump(scene, f, indent=2)
+    return path
 
 
 def write_terrain_scene(

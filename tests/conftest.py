@@ -7,7 +7,9 @@ is validated on forced host devices; real-TPU perf is bench.py's job).
 import os
 
 # The container pins JAX_PLATFORMS=axon (TPU tunnel); override hard — tests
-# must never cross the tunnel op-by-op.
+# must never cross the tunnel op-by-op.  (tests/tpu restores the original
+# platform for the opt-in hardware suite.)
+os.environ.setdefault("OPTIX_TPU_ORIG_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

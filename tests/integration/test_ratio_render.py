@@ -62,9 +62,15 @@ def test_ratio_combine_full_pipeline(renderer):
 
 
 @pytest.mark.slow
-def test_denoiser_reduces_noise(renderer):
-    gb = renderer.gbuffers
-    noisy = jnp.asarray(renderer.aux["sto_direct"])
+def test_denoiser_reduces_noise(tmp_path):
+    # own render at 1 spp / 48^2: enough stochastic noise that the edge-
+    # preserving filter's >=2x variance reduction is measurable (at the
+    # shared 32^2/4spp fixture, geometry edges dominate the Laplacian)
+    scene = parse_scene(procedural.write_cornell_scene(str(tmp_path)))
+    r = Renderer(scene, width=48, height=48, mode=RendererType.RATIO)
+    r.render(1)
+    gb = r.gbuffers
+    noisy = jnp.asarray(r.aux["sto_direct"])
     den = np.asarray(atrous_denoise(noisy, gb.normal, gb.position))
     noisy = np.asarray(noisy)
 
