@@ -1,0 +1,156 @@
+"""Measure the five BASELINE.json staged configs on the current backend.
+
+Writes benchmarks/RESULTS.json and prints a markdown table.  Run on the
+TPU (default env) for the recorded numbers; CPU works for smoke.
+
+Usage: python benchmarks/run_configs.py [--quick]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from optix_renderer_tpu.engine.modes import RendererType  # noqa: E402
+from optix_renderer_tpu.engine.renderer import Renderer  # noqa: E402
+from optix_renderer_tpu.scene import procedural  # noqa: E402
+from optix_renderer_tpu.scene.config import parse_scene  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+QUICK = "--quick" in sys.argv
+
+
+def timed_render(scene, mode, spp, size, depth=4, **kw):
+    r = Renderer(scene, width=size, height=size, mode=mode, path_depth=depth, **kw)
+    r.render(1)  # compile + warmup
+    m0 = dict(r.metrics)  # drains pending counts; snapshot before the window
+    if mode in (RendererType.LTC_BASELINE, RendererType.MASK, RendererType.NORMALS):
+        # deterministic: time fresh single frames
+        r.set_camera(r.scene.cameras[0])
+        t0 = time.perf_counter()
+        r.render(1)
+        dt = time.perf_counter() - t0
+        frames = 1
+    else:
+        t0 = time.perf_counter()
+        r.render(spp)
+        dt = time.perf_counter() - t0
+        frames = spp
+    m1 = dict(r.metrics)
+    rays = m1["rays_traced"] - m0["rays_traced"]
+    m = {"mrays_per_sec": rays / dt / 1e6, "rays_traced": rays}
+    return r, dt, frames, m
+
+
+def main():
+    results = []
+    dev = jax.devices()[0].device_kind
+    cornell = parse_scene(os.path.join(HERE, "..", "scenes", "cornell", "scene.json"))
+    cornell3 = parse_scene(os.path.join(HERE, "..", "scenes", "cornell3", "scene.json"))
+
+    # config 1: Cornell 512^2 1spp LTC-direct (deterministic).  Amortize
+    # over raw frame calls: a single blocking render pays the full host<->
+    # device round-trip (~100 ms over the axon tunnel), which local chips
+    # don't see.
+    size = 128 if QUICK else 512
+    r = Renderer(cornell, width=size, height=size, mode=RendererType.LTC_BASELINE)
+    r.render(1)
+    state = r.state
+    t0 = time.perf_counter()
+    iters = 8
+    for _ in range(iters):
+        state, _, _ = r._frame(state, r.device_scene, r.bvh)
+    jax.block_until_ready(state.accum)
+    dt = (time.perf_counter() - t0) / iters
+    results.append({
+        "config": f"1: LTC analytic direct, Cornell {size}^2 (deterministic)",
+        "frame_ms": round(dt * 1e3, 1),
+        "mrays_per_sec": round(size * size / dt / 1e6, 2),
+    })
+
+    # config 2: Cornell 4-bounce GGX path tracing, 64 spp
+    size = 128 if QUICK else 1024
+    spp = 4 if QUICK else 64
+    r, dt, frames, m = timed_render(cornell, RendererType.PATH, spp, size, depth=4)
+    results.append({
+        "config": f"2: PATH 4-bounce full MIS, Cornell {size}^2 x {spp}spp",
+        "seconds": round(dt, 2),
+        "spp_per_sec": round(frames / dt, 2),
+        "mrays_per_sec": round(m.get("mrays_per_sec", 0.0), 1),
+    })
+
+    # config 3: multi-area-light ratio estimator
+    size = 96 if QUICK else 512
+    spp = 2 if QUICK else 16
+    r, dt, frames, m = timed_render(cornell3, RendererType.RATIO, spp, size)
+    results.append({
+        "config": f"3: RATIO estimator, 3-light Cornell {size}^2 x {spp}spp (4 shadow samples/px)",
+        "seconds": round(dt, 2),
+        "spp_per_sec": round(frames / dt, 2),
+        "mrays_per_sec": round(m.get("mrays_per_sec", 0.0), 1),
+    })
+
+    # config 4: g-buffer + denoise pipeline
+    import jax.numpy as jnp
+
+    from optix_renderer_tpu.postprocess.denoise import atrous_denoise, ratio_combine
+
+    gb = r.gbuffers
+    den = jax.jit(lambda a, n, p: atrous_denoise(a, n, p))
+    d = den(jnp.asarray(r.aux["sto_direct"]), gb.normal, gb.position)
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    d = den(jnp.asarray(r.aux["sto_direct"]), gb.normal, gb.position)
+    nv = den(jnp.asarray(r.aux["sto_no_vis"]), gb.normal, gb.position)
+    fin = ratio_combine(jnp.asarray(r.aux["ltc"]), d, nv)
+    jax.block_until_ready(fin)
+    dt = time.perf_counter() - t0
+    results.append({
+        "config": f"4: g-buffer guided denoise x2 + ratio combine, {size}^2",
+        "ms": round(dt * 1e3, 1),
+    })
+
+    # config 5: Sponza-class terrain (clustered tier)
+    grid = 60 if QUICK else 708
+    d5 = os.path.join(tempfile.gettempdir(), f"bench_terrain_{grid}")
+    if not os.path.exists(os.path.join(d5, "scene.json")):
+        procedural.write_terrain_scene(d5, grid=grid)
+    t0 = time.perf_counter()
+    terrain = parse_scene(os.path.join(d5, "scene.json"))
+    t_load = time.perf_counter() - t0
+    size = 64 if QUICK else 1024
+    t0 = time.perf_counter()
+    r5 = Renderer(terrain, width=size, height=size, mode=RendererType.NORMALS)
+    t_build = time.perf_counter() - t0
+    r5.render(1)
+    r5.set_camera(terrain.cameras[0])
+    t0 = time.perf_counter()
+    r5.render(1)
+    dt = time.perf_counter() - t0
+    results.append({
+        "config": f"5: terrain {r5.device_scene.num_tris} tris, primary g-buffer {size}^2",
+        "load_s": round(t_load, 1),
+        "build_s": round(t_build, 1),
+        "frame_ms": round(dt * 1e3, 1),
+        "mrays_per_sec": round(size * size / dt / 1e6, 2),
+    })
+
+    out = {"device": dev, "results": results}
+    path = os.path.join(HERE, "RESULTS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"\n## BASELINE configs on {dev}\n")
+    for row in results:
+        cfg = row.pop("config")
+        print(f"- **{cfg}** — " + ", ".join(f"{k}={v}" for k, v in row.items()))
+    print(f"\nwritten to {path}")
+
+
+if __name__ == "__main__":
+    main()

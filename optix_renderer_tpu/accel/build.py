@@ -191,8 +191,19 @@ def build_bvh(
     s_min = tmin[order]
     s_max = tmax[order]
 
-    start, end, skip, leaf = _build_ranges(T, leaf_size)
-    bmin, bmax = _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size)
+    # The fine skip-link node tree serves the CPU walk tier only; on TPU,
+    # big scenes traverse via cluster AABBs (pallas_cluster), so skip the
+    # ~25 s/1M-tri node build there (dispatch never routes to the walk).
+    need_nodes = T <= 4096 or jax.default_backend() == "cpu"
+    if need_nodes:
+        start, end, skip, leaf = _build_ranges(T, leaf_size)
+        bmin, bmax = _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size)
+    else:
+        start = end = np.zeros(1, np.int64)
+        skip = np.ones(1, np.int64)
+        leaf = np.ones(1, bool)
+        bmin = s_min[:1]
+        bmax = s_max[:1]
 
     v0 = tri_verts[order, 0]
     e1 = tri_verts[order, 1] - v0

@@ -54,8 +54,20 @@ def apply_mat(mat: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of ``apply_mat`` (cuda_include/utils.cuh:69-74).
     mat: (..., 3, 3) row-major, v: (..., 3) -> (..., 3).
+
+    Written as explicit elementwise madds, NOT einsum: XLA lowers batched
+    (3,3)x(3,) dots pathologically on TPU (tiny contractions can't tile
+    onto the MXU and fall off the fusion path).
     """
-    return jnp.einsum("...ij,...j->...i", mat, v)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            mat[..., 0, 0] * x + mat[..., 0, 1] * y + mat[..., 0, 2] * z,
+            mat[..., 1, 0] * x + mat[..., 1, 1] * y + mat[..., 1, 2] * z,
+            mat[..., 2, 0] * x + mat[..., 2, 1] * y + mat[..., 2, 2] * z,
+        ],
+        axis=-1,
+    )
 
 
 def matrix_transpose(mat: jnp.ndarray) -> jnp.ndarray:

@@ -18,19 +18,23 @@ _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge clamping (H, W, C)."""
+    """Shift with edge clamping; channel-FIRST layout (C, H, W).
+
+    (H, W, C) layouts waste 40-130x on TPU: the last dimension pads to
+    128 lanes, so a C=1 buffer occupies and computes as if C=128.
+    """
     if dy != 0:
-        x = jnp.roll(x, dy, axis=0)
+        x = jnp.roll(x, dy, axis=-2)
         if dy > 0:
-            x = x.at[:dy].set(x[dy])
+            x = x.at[..., :dy, :].set(x[..., dy : dy + 1, :])
         else:
-            x = x.at[dy:].set(x[dy - 1])
+            x = x.at[..., dy:, :].set(x[..., dy - 1 : dy, :])
     if dx != 0:
-        x = jnp.roll(x, dx, axis=1)
+        x = jnp.roll(x, dx, axis=-1)
         if dx > 0:
-            x = x.at[:, :dx].set(x[:, dx : dx + 1])
+            x = x.at[..., :dx].set(x[..., dx : dx + 1])
         else:
-            x = x.at[:, dx:].set(x[:, dx - 1 : dx])
+            x = x.at[..., dx:].set(x[..., dx - 1 : dx])
     return x
 
 
@@ -56,33 +60,36 @@ def atrous_denoise(
         jnp.max(position.reshape(-1, 3), axis=0) - jnp.min(position.reshape(-1, 3), axis=0),
         1e-6,
     ).max()
-    out = color
+    # channel-first internally: (H, W, C) pads C to 128 lanes on TPU
+    out = jnp.moveaxis(color, -1, 0)  # (C, H, W)
+    nrm = jnp.moveaxis(normal, -1, 0)  # (3, H, W)
+    pos = jnp.moveaxis(position, -1, 0) / pos_scale
     for it in range(iterations):
         step = 1 << it
         accum = jnp.zeros_like(out)
-        wsum = jnp.zeros(out.shape[:2] + (1,), out.dtype)
+        wsum = jnp.zeros(out.shape[1:], out.dtype)  # (H, W)
         sc = None if sigma_color is None else sigma_color * (2.0**-it)
         for iy, wy in enumerate(_B3):
             for ix, wx in enumerate(_B3):
                 dy = (iy - 2) * step
                 dx = (ix - 2) * step
                 c_q = _shift2d(out, dy, dx)
-                n_q = _shift2d(normal, dy, dx)
-                p_q = _shift2d(position, dy, dx)
-                d_n = jnp.sum((normal - n_q) ** 2, axis=-1, keepdims=True)
-                d_p = jnp.sum(((position - p_q) / pos_scale) ** 2, axis=-1, keepdims=True)
+                n_q = _shift2d(nrm, dy, dx)
+                p_q = _shift2d(pos, dy, dx)
+                d_n = jnp.sum((nrm - n_q) ** 2, axis=0)  # (H, W)
+                d_p = jnp.sum((pos - p_q) ** 2, axis=0)
                 w = (
                     (wy * wx)
                     * jnp.exp(-d_n / (sigma_normal * sigma_normal))
                     * jnp.exp(-d_p / (sigma_position * sigma_position))
                 )
                 if sc is not None:
-                    d_c = jnp.sum((out - c_q) ** 2, axis=-1, keepdims=True)
+                    d_c = jnp.sum((out - c_q) ** 2, axis=0)
                     w = w * jnp.exp(-d_c / (sc * sc))
-                accum = accum + w * c_q
+                accum = accum + w[None] * c_q
                 wsum = wsum + w
-        out = accum / jnp.maximum(wsum, 1e-10)
-    return out
+        out = accum / jnp.maximum(wsum, 1e-10)[None]
+    return jnp.moveaxis(out, 0, -1)
 
 
 def ratio_combine(

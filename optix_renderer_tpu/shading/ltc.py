@@ -9,6 +9,8 @@ table in ``polygon_clip``).
 
 from __future__ import annotations
 
+import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import math as cm
@@ -19,40 +21,67 @@ from .polygon_clip import clip_polygon
 _LTC1 = LTC_ISO_1
 _LTC2 = LTC_ISO_2
 _LTC3 = LTC_ISO_3
+# all three 8x8 RGBA LUTs flattened into one (64, 12) matrix: the bilinear
+# corner fetch becomes a one-hot MXU matmul (per-lane gathers lower to
+# scalar loops on TPU — ~57 ms per 1M lanes, vs ~free on the MXU)
+_LTC_PACKED = np.concatenate(
+    [np.asarray(LTC_ISO_1).reshape(64, 4),
+     np.asarray(LTC_ISO_2).reshape(64, 4),
+     np.asarray(LTC_ISO_3).reshape(64, 4)],
+    axis=1,
+).astype(np.float32)
 
 
-def _bilinear_8x8(table: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """CUDA tex2D LINEAR+CLAMP on an (8, 8, 4) table; x = column coord in
-    [0,1], y = row coord (viewer.hpp:322-327 semantics; texel centers at
-    (i + 0.5) / 8)."""
-    table = jnp.asarray(table)  # np constant -> jaxpr literal at trace time
+def _rows64(idx: jnp.ndarray) -> jnp.ndarray:
+    """Fetch packed LUT rows (..., 12) by flat texel index via one-hot."""
+    onehot = (idx[..., None] == jnp.arange(64, dtype=jnp.int32)).astype(jnp.float32)
+    flat = jax.lax.dot_general(
+        onehot.reshape(-1, 64), jnp.asarray(_LTC_PACKED),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return flat.reshape(idx.shape + (12,))
+
+
+def _bilinear_8x8_packed(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """CUDA tex2D LINEAR+CLAMP over the three packed LUTs at once
+    (viewer.hpp:322-327 semantics; texel centers at (i + 0.5) / 8).
+    Returns (..., 12) = rows of LTC1|LTC2|LTC3."""
     fx = x * 8.0 - 0.5
     fy = y * 8.0 - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
     xi0 = jnp.clip(x0.astype(jnp.int32), 0, 7)
     xi1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, 7)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, 7)
     yi1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, 7)
-    t00 = table[yi0, xi0]
-    t01 = table[yi0, xi1]
-    t10 = table[yi1, xi0]
-    t11 = table[yi1, xi1]
-    tx = tx[..., None]
-    ty = ty[..., None]
+    t00 = _rows64(yi0 * 8 + xi0)
+    t01 = _rows64(yi0 * 8 + xi1)
+    t10 = _rows64(yi1 * 8 + xi0)
+    t11 = _rows64(yi1 * 8 + xi1)
     return (t00 * (1 - tx) + t01 * tx) * (1 - ty) + (t10 * (1 - tx) + t11 * tx) * ty
+
+
+def _bilinear_8x8(table, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Single-table variant (tests / oracles); same semantics."""
+    table = np.asarray(table).reshape(64, 4)
+    packed = _bilinear_8x8_packed(x, y)
+    # pick the matching 4-column block if the table is one of the three
+    for k, t in enumerate((_LTC1, _LTC2, _LTC3)):
+        if table.shape == np.asarray(t).reshape(64, 4).shape and np.array_equal(table, np.asarray(t).reshape(64, 4)):
+            return packed[..., 4 * k:4 * k + 4]
+    raise ValueError("unknown LTC table")
 
 
 def fetch_ltc_mat(alpha: jnp.ndarray, theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(ltc_mat (..., 3, 3) row-major, amplitude (...,)) — ltc_utils.cuh:10-23."""
     x = theta * jnp.float32(0.99 / (0.5 * cm.PI))
-    r1 = _bilinear_8x8(_LTC1, x, alpha)
-    r2 = _bilinear_8x8(_LTC2, x, alpha)
-    r3 = _bilinear_8x8(_LTC3, x, alpha)
-    mat = jnp.stack([r1[..., :3], r2[..., :3], r3[..., :3]], axis=-2)
-    return mat, r3[..., 3]
+    rows = _bilinear_8x8_packed(x, alpha)
+    mat = jnp.stack([rows[..., 0:3], rows[..., 4:7], rows[..., 8:11]], axis=-2)
+    return mat, rows[..., 11]
 
 
 def integrate_edge_vec(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
@@ -72,9 +101,11 @@ def _masked_polygon_integral(verts: jnp.ndarray, vc: jnp.ndarray) -> jnp.ndarray
     (the vc-switch bodies in ltc_utils.cuh:80-123, unrolled + masked)."""
     total = jnp.zeros(verts.shape[:-2], verts.dtype)
     for j in range(5):
-        nxt = jnp.where(j == vc - 1, 0, j + 1)
         vj = verts[..., j, :]
-        vn = jnp.take_along_axis(verts, nxt[..., None, None], axis=-2)[..., 0, :]
+        # next vertex is static slot j+1, except the closing edge back to
+        # slot 0 — a select between two static slices, never a gather
+        wrap = (j == vc - 1)[..., None]
+        vn = jnp.where(wrap, verts[..., 0, :], verts[..., min(j + 1, 4), :])
         contrib = integrate_edge_vec(vj, vn)[..., 2]
         total = total + jnp.where(j < vc, contrib, 0.0)
     return jnp.abs(total)
@@ -102,8 +133,16 @@ def integrate_over_polygon(
     cg = cm.normalize(lv1 + lv2 + lv3, eps=1e-30)
     facing = cm.dot(-cg, light_normal[None]) >= 0.0  # backface cull :62-64
 
-    def xform(m, v):  # m: (R,3,3), v: (R,L,3)
-        return cm.normalize(jnp.einsum("rij,rlj->rli", m, v), eps=1e-30)
+    def xform(m, v):  # m: (R,3,3), v: (R,L,3) — explicit madds, not einsum
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        out = jnp.stack(
+            [
+                m[:, None, i, 0] * x + m[:, None, i, 1] * y + m[:, None, i, 2] * z
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+        return cm.normalize(out, eps=1e-30)
 
     lv1 = xform(iso_frame, xform(to_local, lv1))
     lv2 = xform(iso_frame, xform(to_local, lv2))

@@ -17,6 +17,7 @@ pass the input through.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # per-output-slot op: COPY input[a]  or  IZ0(input[a], input[b])
@@ -85,6 +86,12 @@ VC_TABLE = _VC
 OP_TABLE = _OP
 A_TABLE = _A
 B_TABLE = _B
+# packed (128, 16) f32 row per case [vc | op*5 | a*5 | b*5] — fetched with
+# ONE one-hot MXU matmul instead of four per-lane gathers (XLA lowers
+# per-lane gathers to scalar loops on TPU: ~57 ms per 1M lanes)
+CASE_TABLE = np.concatenate(
+    [_VC[:, None], _OP, _A, _B], axis=1
+).astype(np.float32)
 
 
 def iz0(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -118,12 +125,34 @@ def clip_polygon(verts: jnp.ndarray, vcount: jnp.ndarray) -> tuple[jnp.ndarray, 
     )
     mask = jnp.clip(vcount + bits, 0, 127)
 
-    vc = jnp.asarray(VC_TABLE)[mask]
-    op = jnp.asarray(OP_TABLE)[mask]  # (..., 5)
-    a = jnp.asarray(A_TABLE)[mask]
-    b = jnp.asarray(B_TABLE)[mask]
+    # case-row fetch: one-hot matmul (exact-precision; values < 128 are
+    # exact in f32), then slot selection via one-hot over the 5 vertex
+    # slots — zero per-lane gathers anywhere in the clip
+    onehot = (mask[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        onehot.reshape(-1, 128), jnp.asarray(CASE_TABLE),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(mask.shape + (16,))
+    vc = rows[..., 0].astype(jnp.int32)
+    op = rows[..., 1:6].astype(jnp.int32)  # (..., 5)
+    a = rows[..., 6:11].astype(jnp.int32)
+    b = rows[..., 11:16].astype(jnp.int32)
 
-    va = jnp.take_along_axis(verts, a[..., None], axis=-2)  # (..., 5, 3)
-    vb = jnp.take_along_axis(verts, b[..., None], axis=-2)
+    def sel5(idx):
+        # verts[..., idx[..., o], :] as a chain of static-slice selects —
+        # neither a gather nor a tiny batched einsum survives TPU lowering
+        outs = []
+        for o in range(5):
+            io = idx[..., o]
+            v = verts[..., 0, :]
+            for k in range(1, 5):
+                v = jnp.where((io == k)[..., None], verts[..., k, :], v)
+            outs.append(v)
+        return jnp.stack(outs, axis=-2)
+
+    va = sel5(a)  # (..., 5, 3)
+    vb = sel5(b)
     out = jnp.where((op == _IZ0)[..., None], iz0(va, vb), va)
     return out, vc

@@ -23,8 +23,8 @@ def renderer(tmp_path_factory):
 def test_ratio_buffers_present(renderer):
     aux = renderer.aux
     assert set(aux) == {"ltc", "sto_direct", "sto_no_vis"}
-    assert aux["ltc"].shape == (48, 48, 3)
-    assert aux["sto_direct"].shape == (48, 48, 1)
+    assert aux["ltc"].shape == (32, 32, 3)
+    assert aux["sto_direct"].shape == (32, 32, 1)
     d = np.asarray(aux["sto_direct"])
     n = np.asarray(aux["sto_no_vis"])
     assert np.isfinite(d).all() and np.isfinite(n).all()

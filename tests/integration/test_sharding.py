@@ -64,3 +64,33 @@ def test_sharded_state_stays_sharded(scene):
     assert isinstance(state, RenderState)
     shard_shapes = {s.data.shape for s in state.accum.addressable_shards}
     assert shard_shapes == {(2, 16, 3)}  # 16 rows / 8 devices
+
+
+def test_sharded_big_scene_terrain(tmp_path):
+    """BASELINE config 5 wiring: a >4096-triangle scene (clustered tier on
+    TPU, BVH-walk tier on CPU) renders row-sharded over the virtual mesh,
+    bit-identical to single-chip."""
+    import numpy as np
+
+    from optix_renderer_tpu.engine.modes import RendererType
+    from optix_renderer_tpu.engine.renderer import Renderer
+    from optix_renderer_tpu.parallel import sharding
+    from optix_renderer_tpu.scene import procedural
+    from optix_renderer_tpu.scene.config import parse_scene
+
+    scene = parse_scene(procedural.write_terrain_scene(str(tmp_path), grid=60))
+    W, H = 32, 64
+    r = Renderer(scene, width=W, height=H, mode=RendererType.NORMALS)
+    assert r.device_scene.num_tris > 4096
+    r.render(1)
+    single = r.image()
+
+    n_dev = len(jax.devices())
+    mesh = sharding.make_mesh(n_dev)
+    r2 = Renderer(scene, width=W, height=H, mode=RendererType.NORMALS)
+    frame = sharding.make_sharded_frame_fn(mesh, RendererType.NORMALS, W, H, path_depth=1)
+    state = sharding.shard_render_state(r2.state, mesh)
+    ds = sharding.replicate(r2.device_scene, mesh)
+    bvh = sharding.replicate(r2.bvh, mesh)
+    state, _, _ = frame(state, ds, bvh)
+    np.testing.assert_array_equal(np.asarray(state.accum), single * 1.0)
