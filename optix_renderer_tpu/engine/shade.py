@@ -196,8 +196,60 @@ def build_surface_interaction_from_cluster(
     )
 
 
+def _morton7(q: jnp.ndarray) -> jnp.ndarray:
+    """Interleave three 7-bit int32 coordinates -> 21-bit Morton code
+    (bit-by-bit: 21 fused VPU ops, cheaper than magic-mask spreads here)."""
+    out = jnp.zeros_like(q[..., 0])
+    for bit in range(7):
+        out = out | (((q[..., 0] >> bit) & 1) << (3 * bit + 2))
+        out = out | (((q[..., 1] >> bit) & 1) << (3 * bit + 1))
+        out = out | (((q[..., 2] >> bit) & 1) << (3 * bit))
+    return out
+
+
+def _coherence_keys(rays: Ray, lo, hi) -> jnp.ndarray:
+    """Ray-sorting key: direction octant (high 3 bits) | origin Morton cell
+    (21 bits).  Rays sharing a key traverse near-identical cluster sets, so
+    the tile-frustum culling of accel.pallas_cluster stays tight even for
+    bounce rays."""
+    d = rays.direction
+    o = rays.origin
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    extent = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((o - lo) / extent * 127.0, 0.0, 127.0).astype(jnp.int32)
+    return (octant << 21) | _morton7(q)
+
+
+def _permute_cluster_hit(ch, perm: jnp.ndarray):
+    """Reorder a ClusterHit by ``perm`` with ONE packed gather (nine
+    separate (N,) gathers would cost ~9x the HBM passes)."""
+    from ..accel.pallas_cluster import ClusterHit
+
+    pack = jnp.stack(
+        [ch.t, ch.tri_id.astype(jnp.float32), ch.bary_u, ch.bary_v,
+         ch.normal[:, 0], ch.normal[:, 1], ch.normal[:, 2],
+         ch.mesh_id.astype(jnp.float32), ch.area],
+        axis=1,
+    )  # (N, 9); ids < 2^24 are exact in f32
+    rows = jnp.take(pack, perm, axis=0)
+    return ClusterHit(
+        t=rows[:, 0],
+        tri_id=rows[:, 1].astype(jnp.int32),
+        bary_u=rows[:, 2],
+        bary_v=rows[:, 3],
+        normal=rows[:, 4:7],
+        mesh_id=rows[:, 7].astype(jnp.int32),
+        area=rows[:, 8],
+    )
+
+
 def trace_closest_si(
-    ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None
+    ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None,
+    coherent: bool = True,
 ) -> SurfaceInteraction:
     """Trace + shade in one step, picking the fastest correct path for the
     backend/scene size (the single entry point integrators should use).
@@ -205,6 +257,13 @@ def trace_closest_si(
     On TPU above the brute tier this routes through the clustered Pallas
     kernel whose hit already carries shading attributes — avoiding the
     per-lane attribute gather entirely (measured 57 ms / 1M rays on v5e).
+
+    ``coherent=False`` (bounce rays) first sorts rays by direction octant
+    + origin Morton cell and unsorts the hits after: the cluster tier
+    culls per ray tile, and incoherent tiles degenerate to visiting every
+    cluster in the frustum-union.  Results are bit-identical either way
+    (the cull is conservative, so the closest hit doesn't depend on tile
+    grouping); sorting is pure overhead for small scenes and skipped.
     """
     from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu, trace_closest
 
@@ -212,9 +271,24 @@ def trace_closest_si(
     if not _on_cpu() and T > PALLAS_BRUTE_MAX_TRIS:
         from ..accel.pallas_cluster import trace_closest_clusters
 
-        ch, _overflow = trace_closest_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
+        if coherent:
+            ch, _overflow = trace_closest_clusters(
+                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
+            )
+            return build_surface_interaction_from_cluster(ds, rays, ch, miss_color)
+
+        lo = bvh.cluster_min.min(axis=0)
+        hi = bvh.cluster_max.max(axis=0)
+        perm = jnp.argsort(_coherence_keys(rays, lo, hi))
+        od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
+        od_s = jnp.take(od, perm, axis=0)
+        sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
+        ch_s, _overflow = trace_closest_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays
         )
+        n = rays.origin.shape[0]
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+        ch = _permute_cluster_hit(ch_s, inv)
         return build_surface_interaction_from_cluster(ds, rays, ch, miss_color)
     hit = trace_closest(bvh, rays)
     return build_surface_interaction(ds, rays, hit, miss_color)

@@ -163,7 +163,8 @@ def path_color(
         brdf = material.evaluate(wi_local, wo_local, s["diffuse"], s["alpha"])
         dir_world = cm.normalize(cm.apply_mat(to_world, wi_local), eps=1e-30)
         bounce_ray = Ray(origin=s["p"] + s["n"] * ray_eps, direction=dir_world)
-        bounce_si = trace_closest_si(ds, bvh, bounce_ray)
+        # bounce rays are incoherent: let the big-scene tier sort them
+        bounce_si = trace_closest_si(ds, bvh, bounce_ray, coherent=False)
 
         hit_light = sample_ok & bounce_si.hit & bounce_si.is_light
         d2 = jnp.sum((bounce_si.p - s["p"]) ** 2, axis=-1)

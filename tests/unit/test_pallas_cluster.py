@@ -102,3 +102,38 @@ def test_cluster_any_occlusion(setup):
     )
     want = intersect_brute(tris, rays, t_max=1e4)
     assert (np.asarray(occ) == (np.asarray(want.tri_id) >= 0)).all()
+
+
+def test_coherence_sorted_trace_matches_unsorted(setup):
+    """trace_closest_si with coherent=False (sort -> trace -> unsort) must
+    produce the same SurfaceInteraction as the direct path: the cull is
+    conservative, so closest hits don't depend on tile grouping."""
+    import jax
+
+    r, rays = setup
+    ds, bvh = r.device_scene, r.bvh
+    if jax.default_backend() == "cpu":
+        # the big-scene branch is TPU-only; exercise the sort machinery via
+        # the internal helpers against the interpret-mode cluster kernel
+        from optix_renderer_tpu.core.types import Ray
+        from optix_renderer_tpu.engine import shade
+
+        lo = bvh.cluster_min.min(axis=0)
+        hi = bvh.cluster_max.max(axis=0)
+        perm = jnp.argsort(shade._coherence_keys(rays, lo, hi))
+        od = jnp.concatenate([rays.origin, rays.direction], axis=1)
+        od_s = jnp.take(od, perm, axis=0)
+        sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
+        ch_s, _ = pc.trace_closest_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays, interpret=True
+        )
+        n = rays.origin.shape[0]
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+        ch = shade._permute_cluster_hit(ch_s, inv)
+        want, _ = pc.trace_closest_clusters(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+        )
+        assert (np.asarray(ch.tri_id) == np.asarray(want.tri_id)).all()
+        np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
+        np.testing.assert_array_equal(np.asarray(ch.normal), np.asarray(want.normal))
+        assert (np.asarray(ch.mesh_id) == np.asarray(want.mesh_id)).all()
