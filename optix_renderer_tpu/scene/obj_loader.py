@@ -250,9 +250,9 @@ def _load_obj_python(obj_path: str) -> Model:
                     mat_index[m.name] = len(materials)
                     materials.append(m)
             elif key in ("o", "g"):
+                # material persists across groups (OBJ semantics)
                 if shapes[-1]:
                     shapes.append(dict())
-                cur_mat = cur_mat  # material persists across groups (OBJ semantics)
 
     if not materials:
         raise RuntimeError("could not parse materials ...")  # Model.cpp:155-156

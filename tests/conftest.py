@@ -19,3 +19,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: the suite is compile-dominated (~40 jit
+# configs); reruns drop from ~8 min to ~2 min.
+jax.config.update("jax_compilation_cache_dir", "/tmp/optix_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

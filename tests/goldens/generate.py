@@ -42,13 +42,15 @@ MODES = {
 }
 
 
-def render_all(scene_dir: str):
+def render_all(scene_dir: str, only=None):
     path = os.path.join(scene_dir, "scene.json")
     if not os.path.exists(path):
         path = procedural.write_cornell_scene(scene_dir, width=SIZE, height=SIZE)
     scene = parse_scene(path)
     out = {}
     for name, (mode, spp) in MODES.items():
+        if only is not None and name not in only:
+            continue
         r = Renderer(scene, width=SIZE, height=SIZE, mode=mode, path_depth=4)
         r.render(spp)
         out[name] = r.image().astype(np.float32)

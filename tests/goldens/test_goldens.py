@@ -1,9 +1,12 @@
 """Golden-image regression (SURVEY §4 items 1/5; BASELINE '<1% RMSE').
 
-Renders every golden mode and compares against the committed images.
+Renders golden modes and compares against the committed images.
 Deterministic modes must match near-exactly; PATH (MC with deterministic
 RNG streams) gets fp-reordering headroom.  Regenerate after *intentional*
 changes with: python tests/goldens/generate.py
+
+Fast tier covers three representative modes (each mode is a separate jit
+compile, which dominates runtime on CPU); the rest run under `-m slow`.
 """
 
 import os
@@ -14,21 +17,35 @@ import pytest
 from tests.goldens.generate import MODES, SIZE, render_all
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+_FAST = ("mask", "normal", "ltc_direct")
+_CACHE: dict = {}
 
 
-@pytest.fixture(scope="module")
-def rendered(tmp_path_factory):
-    return render_all(str(tmp_path_factory.mktemp("golden_scene")))
+def _render_one(name, tmp_path_factory):
+    if not _CACHE:
+        _CACHE["scene_dir"] = str(tmp_path_factory.mktemp("golden_scene"))
+    if name not in _CACHE:
+        _CACHE[name] = render_all(_CACHE["scene_dir"], only=[name])[name]
+    return _CACHE[name]
 
 
-@pytest.mark.parametrize("name", sorted(MODES))
-def test_golden(name, rendered):
+def _check(name, got):
     ref_path = os.path.join(HERE, f"{name}.npy")
-    assert os.path.exists(ref_path), f"golden missing — run tests/goldens/generate.py"
+    assert os.path.exists(ref_path), "golden missing — run tests/goldens/generate.py"
     want = np.load(ref_path)
-    got = rendered[name]
     assert got.shape == want.shape
     scale = max(float(np.abs(want).mean()), 1e-6)
     rmse = float(np.sqrt(((got - want) ** 2).mean())) / scale
     tol = 5e-3 if name == "path" else 1e-4  # <1% RMSE target with margin
     assert rmse < tol, f"{name}: relative RMSE {rmse:.6f} exceeds {tol}"
+
+
+@pytest.mark.parametrize("name", sorted(_FAST))
+def test_golden(name, tmp_path_factory):
+    _check(name, _render_one(name, tmp_path_factory))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(set(MODES) - set(_FAST)))
+def test_golden_full(name, tmp_path_factory):
+    _check(name, _render_one(name, tmp_path_factory))

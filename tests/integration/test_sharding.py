@@ -19,7 +19,13 @@ def scene(tmp_path_factory):
     return parse_scene(procedural.write_cornell_scene(str(d)))
 
 
-@pytest.mark.parametrize("mode,depth", [(RendererType.DIFFUSE, 1), (RendererType.PATH, 2)])
+@pytest.mark.parametrize(
+    "mode,depth",
+    [
+        (RendererType.DIFFUSE, 1),
+        pytest.param(RendererType.PATH, 2, marks=pytest.mark.slow),  # heavy compile
+    ],
+)
 def test_sharded_bit_identical(scene, mode, depth):
     assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
     W = H = 32
