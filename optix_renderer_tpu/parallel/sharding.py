@@ -55,6 +55,67 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def make_spp_sharded_frame_fn(
+    mesh: Mesh,
+    mode: RendererType,
+    width: int,
+    height: int,
+    path_depth: int = 10,
+    ratio_samples: int = 4,
+):
+    """spp-parallel rendering: every chip renders the FULL image for a
+    different accumulation id and a ``psum`` over ICI combines the frames
+    (the alternative axis SURVEY §2.4 names; the one place the steady
+    state uses a collective).
+
+    One sharded step advances accumulation by ``n_devices`` frames; the
+    result matches ``n_devices`` sequential single-chip frames up to
+    summation order (RNG streams are keyed by (accum_id, pixel), so each
+    chip computes exactly one of the sequential frames).
+
+    Returns ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where the
+    g-buffers/aux carry a leading device axis (one entry per frame id).
+    """
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def body(accum, accum_id, camera, ds, bvh):
+        my_id = jax.lax.axis_index(axis)
+        color, gb, aux = render_tile(
+            camera,
+            accum_id + my_id,
+            ds,
+            bvh,
+            0,
+            mode=mode,
+            width=width,
+            height=height,
+            rows=height,
+            path_depth=path_depth,
+            ratio_samples=ratio_samples,
+        )
+        combined = jax.lax.psum(color.reshape(height, width, 3), axis)
+        return accum + combined, gb, aux
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def frame(state: RenderState, ds, bvh):
+        accum, gb, aux = mapped(state.accum, state.accum_id, state.camera, ds, bvh)
+        new_state = RenderState(
+            accum=accum, accum_id=state.accum_id + n_dev, camera=state.camera
+        )
+        return new_state, gb, aux
+
+    return frame
+
+
 def make_sharded_frame_fn(
     mesh: Mesh,
     mode: RendererType,

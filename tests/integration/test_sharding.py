@@ -100,3 +100,41 @@ def test_sharded_big_scene_terrain(tmp_path):
     bvh = sharding.replicate(r2.bvh, mesh)
     state, _, _ = frame(state, ds, bvh)
     np.testing.assert_array_equal(np.asarray(state.accum), single * 1.0)
+
+
+def test_spp_sharded_matches_sequential(scene):
+    """spp-parallel step (each chip renders one frame id, psum combine)
+    must equal n sequential single-chip frames (same per-frame RNG
+    streams; only the summation order differs)."""
+    import numpy as np
+
+    from optix_renderer_tpu.engine.renderer import Renderer
+    from optix_renderer_tpu.parallel import sharding
+
+    n_dev = len(jax.devices())
+    W = H = 32
+    r = Renderer(scene, width=W, height=H, mode=RendererType.PATH, path_depth=2)
+    r.render(n_dev)
+    want = np.asarray(r.state.accum)
+
+    mesh = sharding.make_mesh(n_dev)
+    r2 = Renderer(scene, width=W, height=H, mode=RendererType.PATH, path_depth=2)
+    frame = sharding.make_spp_sharded_frame_fn(mesh, RendererType.PATH, W, H, path_depth=2)
+    state = sharding.shard_render_state(r2.state, mesh)
+    # accum replicated for the spp axis (shard_render_state row-shards it)
+    from optix_renderer_tpu.core.types import RenderState
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    state = RenderState(
+        accum=_jax.device_put(r2.state.accum, rep),
+        accum_id=_jax.device_put(r2.state.accum_id, rep),
+        camera=_jax.tree_util.tree_map(lambda x: _jax.device_put(x, rep), r2.state.camera),
+    )
+    ds = sharding.replicate(r2.device_scene, mesh)
+    bvh = sharding.replicate(r2.bvh, mesh)
+    state, _, _ = frame(state, ds, bvh)
+    got = np.asarray(state.accum)
+    assert int(state.accum_id) == n_dev
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
