@@ -65,17 +65,6 @@ def _bilinear_8x8_packed(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return (t00 * (1 - tx) + t01 * tx) * (1 - ty) + (t10 * (1 - tx) + t11 * tx) * ty
 
 
-def _bilinear_8x8(table, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Single-table variant (tests / oracles); same semantics."""
-    table = np.asarray(table).reshape(64, 4)
-    packed = _bilinear_8x8_packed(x, y)
-    # pick the matching 4-column block if the table is one of the three
-    for k, t in enumerate((_LTC1, _LTC2, _LTC3)):
-        if table.shape == np.asarray(t).reshape(64, 4).shape and np.array_equal(table, np.asarray(t).reshape(64, 4)):
-            return packed[..., 4 * k:4 * k + 4]
-    raise ValueError("unknown LTC table")
-
-
 def fetch_ltc_mat(alpha: jnp.ndarray, theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(ltc_mat (..., 3, 3) row-major, amplitude (...,)) — ltc_utils.cuh:10-23."""
     x = theta * jnp.float32(0.99 / (0.5 * cm.PI))
