@@ -56,12 +56,12 @@ def bench_terrain():
     rs, jv = rnglib.lcg_randomf(rs)
     rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
     f = jax.jit(trace_closest_si)
-    si = f(r.device_scene, r.bvh, rays)
+    si, _ = f(r.device_scene, r.bvh, rays)
     jax.block_until_ready(si.p)
     t0 = time.perf_counter()
     iters = 8
     for _ in range(iters):
-        si = f(r.device_scene, r.bvh, rays)
+        si, _ = f(r.device_scene, r.bvh, rays)
     jax.block_until_ready(si.p)
     dt = (time.perf_counter() - t0) / iters
     mrays = n / dt / 1e6

@@ -63,6 +63,11 @@ class BVH:
     # kernels (accel.pallas_trace.pack_tri_table layout)
     cluster_min: jnp.ndarray  # (C, 3) f32 cluster AABBs (big-scene tier)
     cluster_max: jnp.ndarray  # (C, 3) f32
+    shade_tab: jnp.ndarray  # (T, 16) f32 per-corner shading attributes in
+    # ORIGINAL tri order [n1(3) n2(3) n3(3) uv1(2) uv2(2) uv3(2) pad] for
+    # full-fidelity interpolation in the cluster tier; (1, 16) dummy when
+    # the representative-normal fast path is exact (flat-shaded untextured
+    # scenes) or the scene uses the brute tier
 
     @property
     def num_nodes(self) -> int:
@@ -164,12 +169,15 @@ def build_bvh(
     leaf_size: int = 4,
     tri_normal: np.ndarray | None = None,
     tri_mesh: np.ndarray | None = None,
+    tri_shade: np.ndarray | None = None,
 ) -> BVH:
     """Build from (T, 3, 3) float32 triangle vertices.
 
     ``tri_normal`` (per-triangle representative unit normal) and
     ``tri_mesh`` (mesh id per triangle) ride the packed table so the
     Pallas cluster kernel can emit shading attributes with the hit.
+    ``tri_shade`` is the optional (T, 16) per-corner attribute table (see
+    BVH.shade_tab) in ORIGINAL triangle order, stored untouched.
     """
     from .pallas_trace import TRI_SUB, pack_tri_table, pack_tri_table_grouped
 
@@ -194,16 +202,17 @@ def build_bvh(
     # The fine skip-link node tree serves the CPU walk tier only; on TPU,
     # big scenes traverse via cluster AABBs (pallas_cluster), so skip the
     # ~25 s/1M-tri node build there (dispatch never routes to the walk).
+    # Skipped trees store ZERO nodes so an accidental walk-tier call fails
+    # loudly (trace_*_bvh raises) instead of returning all-miss.
     need_nodes = T <= 4096 or jax.default_backend() == "cpu"
     if need_nodes:
         start, end, skip, leaf = _build_ranges(T, leaf_size)
         bmin, bmax = _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size)
     else:
-        start = end = np.zeros(1, np.int64)
-        skip = np.ones(1, np.int64)
-        leaf = np.ones(1, bool)
-        bmin = s_min[:1]
-        bmax = s_max[:1]
+        start = end = skip = np.zeros(0, np.int64)
+        leaf = np.zeros(0, bool)
+        bmin = np.zeros((0, 3), np.float32)
+        bmax = np.zeros((0, 3), np.float32)
 
     v0 = tri_verts[order, 0]
     e1 = tri_verts[order, 1] - v0
@@ -227,11 +236,19 @@ def build_bvh(
         area=area,
     )
     if T > 4096:  # big-scene tier: cluster-grouped layout (pallas_cluster)
-        tri_tab = pack_tri_table_grouped(v0, e1, e2, order, **tab_kwargs)
+        tri_tab = pack_tri_table_grouped(
+            v0, e1, e2, order, cluster_min=cmin, cluster_max=cmax, **tab_kwargs
+        )
     else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
+    if tri_shade is None or T <= 4096:
+        shade_tab = np.zeros((1, 16), np.float32)
+    else:
+        shade_tab = np.asarray(tri_shade, np.float32)
+        assert shade_tab.shape == (T, 16)
     return BVH(
         tri_tab=tri_tab,
+        shade_tab=jnp.asarray(shade_tab),
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),
         node_min=f32(bmin),

@@ -10,27 +10,40 @@ TPU-native structure chosen here keeps ALL hot work dense:
    tile's conservative bounds (origin box x direction interval) are
    slab-tested against every *cluster* AABB (clusters = fixed 64-triangle
    Morton runs from ``accel.build``) as one dense ``(tiles, clusters)``
-   computation, then each tile's overlapping clusters are compacted into
-   a front-to-back list of at most ``max_visits`` entries.
+   computation.  Each tile's overlapping clusters become a front-to-back
+   list of at most ``max_visits`` packed ``[near | cluster id]`` entries,
+   selected with ONE ``lax.top_k`` over the packed int32 keys (the near
+   distance is floor-quantized into the high bits, so sorting the packed
+   value sorts by near and carries the id for free — no argsort, no
+   gather; the argsort this replaced cost 25-30 ms/trace at 1M tris).
 
 2. **Intersect (Pallas):** one grid step per ray tile; the visit loop is
    a ``lax.while_loop`` inside the kernel (measured ~0.1 us/iteration
    with SMEM scalar control) with manual double-buffered cluster DMA
-   from HBM and front-to-back early termination, so a tile pays exactly
-   for the clusters it visits.  Inside, the sublane-chunk
-   Moller-Trumbore of ``accel.pallas_trace`` runs 8 triangles x 128 rays
-   per VPU op, and the winning triangle's *shading attributes* (unit
-   normal, mesh id, area — packed table cols 10-14) are selected during
-   the test, eliminating the post-trace per-lane gather entirely.
+   from HBM and front-to-back early termination.  Each visit first runs
+   a cheap per-lane ray-vs-cluster-AABB slab test (the cluster bounds
+   ride the grouped table's pad columns, so they arrive with the same
+   DMA) and the 8x(8 tris x 128 rays) Moller-Trumbore block is skipped
+   entirely when no lane in the tile can improve — the per-RAY
+   refinement the tile-level frustum cull cannot express.  The winning
+   triangle's shading attributes (unit normal, mesh id, area — packed
+   table cols 10-14) are selected during the test, eliminating the
+   post-trace per-lane gather.
 
-Measured on v5e at 1024x1024 primary rays (trace+shade): 16.6 Mrays/s on
-a 100k-triangle terrain, 4.8 Mrays/s at 1M triangles.  Future work: a
-hierarchical cull (supercluster level) and an MXU-form intersection test.
+Correctness: a tile whose overlapping-cluster count exceeds
+``max_visits`` keeps the nearest ``max_visits`` (by conservative entry
+distance).  That truncation is *checked*, never silent: the cull also
+returns the entry distance of the first dropped cluster, and any tile
+whose achieved hit distance does not beat it is re-traced by a fallback
+kernel pass over the FULL cluster list (masked to the unresolved tiles
+only, wrapped in ``lax.cond`` so the common case pays nothing).  The
+result is exact for every ``max_visits``; the cap is purely a perf knob.
+Matches the RT cores' contract: they never drop hits
+(cuda_src/deviceCode.cu:76).
 
-Correctness note: a tile visiting more than ``max_visits`` clusters only
-tests the nearest ``max_visits`` (front-to-back by conservative entry
-distance); ``cull_clusters`` also returns the overflow count so callers
-can size ``max_visits`` (tests assert zero overflow on their scenes).
+Primary rays additionally clamp ``t_max`` to the ray's scene-box exit
+distance, so lanes that miss everything cannot poison the tile-level
+front-to-back early-out with t=inf.
 """
 
 from __future__ import annotations
@@ -51,11 +64,17 @@ from .pallas_trace import GROUP_CLUSTER, LANES, TRI_SUB, _mt_chunk
 _INF = np.float32(3.0e38)
 TILE_ROWS = 8  # rows of 128 rays per tile: 1024 rays (a 32x32 pixel block)
 TILE = TILE_ROWS * LANES
-DEFAULT_MAX_VISITS = 1024  # per-tile visited-cluster cap; culling
-# overflow beyond it is counted and returned.  Lists live in HBM and are
-# DMA'd per tile into SMEM scratch (not scalar-prefetch operands), so the
-# cap is bounded by scratch size, not the 1MB SMEM prefetch budget.
+DEFAULT_MAX_VISITS = 1024  # per-tile visited-cluster cap; overflowing
+# tiles are detected and re-traced with the full list (see module doc).
+# Lists live in HBM and are DMA'd per tile into SMEM scratch, so the cap
+# is bounded by scratch size, not the 1MB SMEM prefetch budget.
 _NEAR_BITS_TOTAL = 30  # packed list entry: [near quantized | cluster id]
+
+# The per-lane AABB pretest broadcasts (TRI_SUB,)-shaped pad-column
+# extracts against (TILE_ROWS, LANES) ray planes; the values are
+# replicated across sublanes so this is only correct because the dims
+# coincide.
+assert TILE_ROWS == TRI_SUB
 
 
 def _cid_bits(n_clusters: int) -> int:
@@ -87,22 +106,63 @@ class ClusterHit:
     area: jnp.ndarray
 
 
+def zero_trace_stats() -> dict:
+    """Shape/dtype-stable trace statistics (carryable through lax loops)."""
+    z = jnp.int32(0)
+    return {"overflow": z, "retraced": z, "unresolved_tiles": z}
+
+
+def merge_trace_stats(a: dict, b: dict) -> dict:
+    return {k: a[k] + b[k] for k in a}
+
+
+def clamp_t_exit(cluster_min, cluster_max, rays: Ray, t_max):
+    """Per-ray t_max clamped to the scene-box exit distance.
+
+    Every triangle lies inside the root AABB, so any hit satisfies
+    t <= far(root box); rays missing the box entirely cannot hit at all
+    (t_max = 0).  This keeps miss lanes from carrying t=inf, which would
+    defeat the front-to-back early termination for their whole tile.
+    """
+    lo = cluster_min.min(axis=0)
+    hi = cluster_max.max(axis=0)
+    o, d = rays.origin, rays.direction
+    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv = 1.0 / safe
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hits_box = (near <= far) & (far > 0.0)
+    exit_t = far * 1.0001 + 1e-3  # margin: triangles on the box surface
+    t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    return jnp.where(hits_box, jnp.minimum(t, exit_t), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # phase 1: dense tile-vs-cluster culling (pure XLA)
 # ---------------------------------------------------------------------------
 
 def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int):
-    """Per-tile front-to-back cluster lists.
+    """Per-tile front-to-back cluster lists via one packed top_k.
 
-    Returns (lists (tiles, max_visits) i32, counts (tiles,) i32,
-    overflow (tiles,) i32 — clusters dropped beyond max_visits).
+    Returns (lists (tiles, max_visits) i32 packed [nearq | cid],
+    counts (tiles,) i32, scale (tiles,) f32 — decode near as
+    ``(entry >> cid_bits) * scale`` —, overflow (tiles,) i32 (clusters
+    dropped beyond max_visits), near_dropped (tiles,) f32 — decoded entry
+    distance of the first dropped cluster, +inf if none).
     """
     n = rays.origin.shape[0]
-    o = jnp.pad(rays.origin, ((0, n_pad - n), (0, 0)))
-    d = jnp.pad(rays.direction, ((0, n_pad - n), (0, 0)))
+    pad = n_pad - n
+    # Replicate the last real ray into padding: a zero-padded direction
+    # would straddle 0 on all three axes and make the tile's frustum pass
+    # every slab test with tied keys (partial-tile correctness bug).
+    o = jnp.pad(rays.origin, ((0, pad), (0, 0)), mode="edge")
+    d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge")
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tmax = jnp.pad(tmax, (0, n_pad - n))
+    tmax = jnp.pad(tmax, (0, pad), mode="edge")
     tiles = n_pad // TILE
+    C = cluster_min.shape[0]
 
     ot = o.reshape(tiles, TILE, 3)
     dt = d.reshape(tiles, TILE, 3)
@@ -112,7 +172,7 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     d_hi = dt.max(axis=1)
     t_hi = tmax.reshape(tiles, TILE).max(axis=1)  # (tiles,)
 
-    near = jnp.zeros((tiles, cluster_min.shape[0]), jnp.float32)
+    near = jnp.zeros((tiles, C), jnp.float32)
     far = jnp.broadcast_to(t_hi[:, None], near.shape)
     for a in range(3):
         bmin = cluster_min[None, :, a]  # (1, C)
@@ -140,32 +200,38 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
 
     overlap = near <= far
     key = jnp.where(overlap, jnp.maximum(near, 0.0), _INF)
-    order = jnp.argsort(key, axis=1)[:, :max_visits].astype(jnp.int32)
-    nears = jnp.take_along_axis(key, order, axis=1)  # sorted entry distances
+
+    # Pack floor-quantized near (never exceeds the true distance, so the
+    # kernel's early-out test stays conservative) with the cluster id in
+    # one int32; non-overlapping clusters get the reserved max quantum so
+    # they sort strictly after every real entry.
+    cb = _cid_bits(C)
+    nb = _NEAR_BITS_TOTAL - cb
+    D = (1 << nb) - 2
+    kmax = jnp.max(jnp.where(overlap, key, 0.0), axis=1)  # (tiles,)
+    scale = jnp.maximum(kmax, 1e-6) / D  # decode factor
+    nearq = jnp.clip(jnp.floor(key / scale[:, None]), 0, D).astype(jnp.int32)
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
+    packed = jnp.where(overlap, (nearq << cb) | cid, ((D + 1) << cb) | cid)
+
+    # smallest (max_visits + 1) packed entries, ascending: lists + the
+    # first dropped entry (for the overflow-resolution check)
+    k = min(max_visits + 1, C)
+    topneg, _ = jax.lax.top_k(-packed, k)
+    sorted_k = -topneg
+    lists = sorted_k[:, :max_visits]
+    if lists.shape[1] < max_visits:
+        lists = jnp.pad(lists, ((0, 0), (0, max_visits - lists.shape[1])), mode="edge")
+
     total = overlap.sum(axis=1).astype(jnp.int32)
     counts = jnp.minimum(total, max_visits)
-    # Pad unused slots with the tile's LAST real cluster id: the pipeline
-    # skips the cluster DMA whenever the BlockSpec index repeats, so
-    # padded grid steps cost only the (skipped) compute guard.
-    last = jnp.take_along_axis(
-        order, jnp.maximum(counts - 1, 0)[:, None].astype(jnp.int32), axis=1
-    )
-    slot = jnp.arange(max_visits, dtype=jnp.int32)[None, :]
-    lists = jnp.where(slot < counts[:, None], order, last)
-
-    # Pack each entry's conservative near distance (floor-quantized on a
-    # per-tile scale, so the decoded value never exceeds the true one)
-    # into the high bits: ONE SMEM-resident scalar-prefetch array instead
-    # of a second float list.
-    cb = _cid_bits(cluster_min.shape[0])
-    nb = _NEAR_BITS_TOTAL - cb
-    valid_near = jnp.where(slot < counts[:, None], nears, 0.0)
-    scale = jnp.maximum(valid_near.max(axis=1), 1e-6)  # (tiles,)
-    nearq = jnp.clip(
-        jnp.floor(valid_near / scale[:, None] * ((1 << nb) - 1)), 0, (1 << nb) - 1
-    ).astype(jnp.int32)
-    packed = (nearq << cb) | lists
-    return packed, counts, scale, total - counts
+    overflow = total - counts
+    if k > max_visits:
+        dropped_q = (sorted_k[:, max_visits] >> cb).astype(jnp.float32)
+        near_dropped = jnp.where(overflow > 0, dropped_q * scale, _INF)
+    else:
+        near_dropped = jnp.full((tiles,), _INF, jnp.float32)
+    return lists, counts, scale, overflow, near_dropped
 
 
 
@@ -189,6 +255,36 @@ def _chunk_cols(blk, ci):
     return lambda j: blk[:, ci * 16 + j][:, None, None]
 
 
+def _inv_dir(a):
+    return 1.0 / jnp.where(jnp.abs(a) < 1e-20, jnp.where(a < 0, -1e-20, 1e-20), a)
+
+
+def _lane_slab(blk, ox, oy, oz, ix, iy, iz):
+    """Per-lane ray-vs-cluster-AABB slab test.
+
+    The cluster bounds ride the grouped table's pad columns (attr 15 of
+    groups 0-5 = bmin.xyz, bmax.xyz, replicated across sublanes), so a
+    ``blk[:, g*16+15][:, None]`` extract broadcasts them as constants
+    against the (TILE_ROWS, LANES) ray planes.  Returns (near, far).
+    """
+    def bcol(g):
+        return blk[:, g * 16 + 15][:, None]
+
+    t0 = (bcol(0) - ox) * ix
+    t1 = (bcol(3) - ox) * ix
+    near = jnp.minimum(t0, t1)
+    far = jnp.maximum(t0, t1)
+    t0 = (bcol(1) - oy) * iy
+    t1 = (bcol(4) - oy) * iy
+    near = jnp.maximum(near, jnp.minimum(t0, t1))
+    far = jnp.minimum(far, jnp.maximum(t0, t1))
+    t0 = (bcol(2) - oz) * iz
+    t1 = (bcol(5) - oz) * iz
+    near = jnp.maximum(near, jnp.minimum(t0, t1))
+    far = jnp.minimum(far, jnp.maximum(t0, t1))
+    return near, far
+
+
 def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -197,9 +293,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             mesh_ref, area_ref,
                             lst_scr, buf, sems, lsem):
     ti = pl.program_id(0)
-    nb = _NEAR_BITS_TOTAL - cid_bits
     cmask = (1 << cid_bits) - 1
-    near_scale = scale_ref[ti] / ((1 << nb) - 1)
+    near_scale = scale_ref[ti]
     cnt = cnt_ref[ti]
     lw = maxv // 8
 
@@ -214,6 +309,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     lcopy.wait()
 
     def lst_at(k):
+        k = jnp.minimum(k, maxv - 1)  # cond evaluates at k == cnt
         return lst_scr[k // lw, k % lw]
 
     def cluster_dma(slot, k):
@@ -227,6 +323,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
         cluster_dma(0, 0).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
 
         def cond(state):
             k, t_bound = state
@@ -243,38 +340,45 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
             cluster_dma(k % _N_BUF, k).wait()
             blk = buf[k % _N_BUF]  # (8, 128) value
 
-            for ci in range(GROUP_CLUSTER // TRI_SUB):  # static unroll
-                t = t_ref[:]
-                hit, tc, uc, vc = _mt_chunk(
-                    _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, t
-                )
-                tc_m = jnp.where(hit, tc, _INF)
-                t_best = jnp.min(tc_m, axis=0)
-                upd = t_best < t
+            # per-lane AABB pretest: skip the whole 64-triangle MT block
+            # when no ray in the tile can improve inside this cluster
+            near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
+            live = (near_l <= far_l) & (far_l > 0.0) & (near_l < t_ref[:])
 
-                # attribute selection (~half the ops) only on improvement
-                @pl.when(jnp.any(upd))
-                def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd, uc=uc, vc=vc, ci=ci):
-                    best = jnp.argmin(tc_m, axis=0)[None]
-                    sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
-                    sel = sub == best
-                    col = _chunk_cols(blk, ci)
+            @pl.when(jnp.any(live))
+            def _test():
+                for ci in range(GROUP_CLUSTER // TRI_SUB):  # static unroll
+                    t = t_ref[:]
+                    hit, tc, uc, vc = _mt_chunk(
+                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, t
+                    )
+                    tc_m = jnp.where(hit, tc, _INF)
+                    t_best = jnp.min(tc_m, axis=0)
+                    upd = t_best < t
 
-                    def pick(a):
-                        return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
+                    # attribute selection (~half the ops) only on improvement
+                    @pl.when(jnp.any(upd))
+                    def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd, uc=uc, vc=vc, ci=ci):
+                        best = jnp.argmin(tc_m, axis=0)[None]
+                        sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
+                        sel = sub == best
+                        col = _chunk_cols(blk, ci)
 
-                    def pick_col(j):
-                        return pick(jnp.broadcast_to(col(j), tc_m.shape))
+                        def pick(a):
+                            return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
 
-                    t_ref[:] = jnp.where(upd, t_best, t)
-                    pid_ref[:] = jnp.where(upd, pick_col(9), pid_ref[:])
-                    u_ref[:] = jnp.where(upd, pick(uc), u_ref[:])
-                    v_ref[:] = jnp.where(upd, pick(vc), v_ref[:])
-                    nx_ref[:] = jnp.where(upd, pick_col(10), nx_ref[:])
-                    ny_ref[:] = jnp.where(upd, pick_col(11), ny_ref[:])
-                    nz_ref[:] = jnp.where(upd, pick_col(12), nz_ref[:])
-                    mesh_ref[:] = jnp.where(upd, pick_col(13), mesh_ref[:])
-                    area_ref[:] = jnp.where(upd, pick_col(14), area_ref[:])
+                        def pick_col(j):
+                            return pick(jnp.broadcast_to(col(j), tc_m.shape))
+
+                        t_ref[:] = jnp.where(upd, t_best, t)
+                        pid_ref[:] = jnp.where(upd, pick_col(9), pid_ref[:])
+                        u_ref[:] = jnp.where(upd, pick(uc), u_ref[:])
+                        v_ref[:] = jnp.where(upd, pick(vc), v_ref[:])
+                        nx_ref[:] = jnp.where(upd, pick_col(10), nx_ref[:])
+                        ny_ref[:] = jnp.where(upd, pick_col(11), ny_ref[:])
+                        nz_ref[:] = jnp.where(upd, pick_col(12), nz_ref[:])
+                        mesh_ref[:] = jnp.where(upd, pick_col(13), mesh_ref[:])
+                        area_ref[:] = jnp.where(upd, pick_col(14), area_ref[:])
 
             return (k + 1, jnp.max(t_ref[:]))
 
@@ -303,6 +407,7 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
     lcopy.wait()
 
     def lst_at(k):
+        k = jnp.minimum(k, maxv - 1)
         return lst_scr[k // lw, k % lw]
 
     def cluster_dma(slot, k):
@@ -316,6 +421,7 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
         cluster_dma(0, 0).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
         tmax = tmax_ref[:]
 
         def cond(state):
@@ -332,14 +438,23 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
             cluster_dma(k % _N_BUF, k).wait()
             blk = buf[k % _N_BUF]
 
-            occ = occ_ref[:]
-            for ci in range(GROUP_CLUSTER // TRI_SUB):
-                hit, _, _, _ = _mt_chunk(
-                    _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, tmax
-                )
-                occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
-            occ_ref[:] = occ
-            return (k + 1, jnp.min(occ))
+            near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
+            live = (
+                (near_l <= far_l) & (far_l > 0.0) & (near_l < tmax)
+                & (occ_ref[:] == 0)
+            )
+
+            @pl.when(jnp.any(live))
+            def _test():
+                occ = occ_ref[:]
+                for ci in range(GROUP_CLUSTER // TRI_SUB):
+                    hit, _, _, _ = _mt_chunk(
+                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, tmax
+                    )
+                    occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
+                occ_ref[:] = occ
+
+            return (k + 1, jnp.min(occ_ref[:]))
 
         k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
 
@@ -353,7 +468,9 @@ def _planes(rays: Ray, tmax, n_pad: int):
     pad = n_pad - n
 
     def plane(a):
-        return jnp.pad(a, (0, pad)).reshape(-1, LANES)
+        # edge-replicate padding (see cull_clusters): keeps padded lanes
+        # finite so the in-kernel slab pretest never sees inf*0 NaNs
+        return jnp.pad(a, (0, pad), mode="edge").reshape(-1, LANES)
 
     o, d = rays.origin, rays.direction
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
@@ -362,6 +479,40 @@ def _planes(rays: Ray, tmax, n_pad: int):
         plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
         plane(tmax),
     )
+
+
+def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool):
+    tile_spec = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
+    )
+    lidx = (lambda t, cnt, sc: (0, 0)) if shared_lists else (lambda t, cnt, sc: (t, 0))
+    lst_spec = pl.BlockSpec((8, maxv // 8), lidx, memory_space=pltpu.VMEM)
+    out_specs = [tile_spec] * n_out if n_out > 1 else tile_spec
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SMEM((8, maxv // 8), jnp.int32),
+            pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+
+def _full_lists(C: int):
+    """One shared unsorted full cluster list (near bits = 0): the fallback
+    pass has no ordering (no early-out) but visits every cluster, and the
+    per-lane AABB pretest keeps skipped clusters cheap."""
+    maxv_full = -(-C // 128) * 128
+    ids = jnp.minimum(jnp.arange(maxv_full, dtype=jnp.int32), C - 1)
+    return ids.reshape(8, maxv_full // 8), maxv_full
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
 
 
 @functools.partial(jax.jit, static_argnames=("max_visits", "interpret"))
@@ -375,7 +526,11 @@ def trace_closest_clusters(
     max_visits: int = DEFAULT_MAX_VISITS,
     interpret: bool = False,
 ):
-    """Returns (ClusterHit, culling overflow count (scalar i32))."""
+    """Returns (ClusterHit, stats dict) — see ``zero_trace_stats`` keys.
+
+    Exact regardless of ``max_visits``: overflowing tiles whose result is
+    not provably complete are re-traced against the full cluster list.
+    """
     n = rays.origin.shape[0]
     C = cluster_min.shape[0]
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
@@ -383,43 +538,52 @@ def trace_closest_clusters(
     )
     tiles = -(-n // TILE)
     n_pad = tiles * TILE
-    maxv = -(-min(max_visits, C) // 128) * 128  # (8, maxv//8) list blocks
+    maxv = _pad128(min(max_visits, C))
 
-    lists, counts, scales, overflow = cull_clusters(
-        cluster_min, cluster_max, rays, t_max, n_pad, min(maxv, C)
+    t_eff = clamp_t_exit(cluster_min, cluster_max, rays, t_max)
+    lists, counts, scales, overflow, near_dropped = cull_clusters(
+        cluster_min, cluster_max, rays, t_eff, n_pad, maxv
     )
-    if lists.shape[1] < maxv:
-        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
     lists = lists.reshape(tiles * 8, maxv // 8)
-    planes = _planes(rays, t_max, n_pad)
+    planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    tile_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
-    )
-    lst_spec = pl.BlockSpec(
-        (8, maxv // 8), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tiles,),
-        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
-        out_specs=[tile_spec] * 9,
-        scratch_shapes=[
-            pltpu.SMEM((8, maxv // 8), jnp.int32),
-            pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
     out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.float32)] * 9
-    t, pid, u, v, nx, ny, nz, mid, ar = pl.pallas_call(
-        functools.partial(_closest_cluster_kernel, cb, maxv),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(counts, scales, lists, tri_tab, *planes)
 
+    def run(lsts, cnts, scls, mv, shared):
+        return pl.pallas_call(
+            functools.partial(_closest_cluster_kernel, cb, mv),
+            grid_spec=_grid_spec(tiles, mv, 9, shared),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cnts, scls, lsts, tri_tab, *planes)
+
+    outs = tuple(run(lists, counts, scales, maxv, False))
+
+    if C > maxv:  # overflow possible: checked fallback
+        t_tile = outs[0].reshape(tiles, -1).max(axis=1)
+        unresolved = (overflow > 0) & (t_tile > near_dropped)
+        any_un = jnp.any(unresolved)
+
+        lists_full, maxv_full = _full_lists(C)
+        zscale = jnp.zeros((tiles,), jnp.float32)
+
+        def fallback(o):
+            counts_f = jnp.where(unresolved, jnp.int32(C), 0)
+            outs_f = run(lists_full, counts_f, zscale, maxv_full, True)
+            m = jnp.repeat(unresolved, TILE_ROWS)[:, None]
+            return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
+
+        outs = jax.lax.cond(any_un, fallback, lambda o: o, outs)
+        stats = {
+            "overflow": overflow.sum(),
+            "retraced": any_un.astype(jnp.int32),
+            "unresolved_tiles": unresolved.sum().astype(jnp.int32),
+        }
+    else:
+        stats = zero_trace_stats()
+
+    t, pid, u, v, nx, ny, nz, mid, ar = outs
     flat = lambda a: a.reshape(-1)[:n]
     hit = ClusterHit(
         t=flat(t),
@@ -430,7 +594,7 @@ def trace_closest_clusters(
         mesh_id=flat(mid).astype(jnp.int32),
         area=flat(ar),
     )
-    return hit, overflow.sum()
+    return hit, stats
 
 
 @functools.partial(jax.jit, static_argnames=("max_visits", "interpret"))
@@ -444,7 +608,12 @@ def trace_any_clusters(
     max_visits: int = DEFAULT_MAX_VISITS,
     interpret: bool = False,
 ):
-    """Occlusion query; returns (occluded (N,) bool, overflow)."""
+    """Occlusion query; returns (occluded (N,) bool, stats dict).
+
+    Like trace_closest_clusters, cull overflow is checked: a tile that
+    dropped clusters and still has unoccluded lanes is re-traced against
+    the full list.
+    """
     n = rays.origin.shape[0]
     C = cluster_min.shape[0]
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
@@ -452,39 +621,48 @@ def trace_any_clusters(
     )
     tiles = -(-n // TILE)
     n_pad = tiles * TILE
-    maxv = -(-min(max_visits, C) // 128) * 128
+    maxv = _pad128(min(max_visits, C))
 
-    lists, counts, scales, overflow = cull_clusters(
-        cluster_min, cluster_max, rays, t_max, n_pad, min(maxv, C)
+    t_eff = clamp_t_exit(cluster_min, cluster_max, rays, t_max)
+    lists, counts, scales, overflow, _near_dropped = cull_clusters(
+        cluster_min, cluster_max, rays, t_eff, n_pad, maxv
     )
-    if lists.shape[1] < maxv:
-        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
     lists = lists.reshape(tiles * 8, maxv // 8)
-    planes = _planes(rays, t_max, n_pad)
+    planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    tile_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
-    )
-    lst_spec = pl.BlockSpec(
-        (8, maxv // 8), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tiles,),
-        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
-        out_specs=tile_spec,
-        scratch_shapes=[
-            pltpu.SMEM((8, maxv // 8), jnp.int32),
-            pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    occ = pl.pallas_call(
-        functools.partial(_any_cluster_kernel, cb, maxv),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32),
-        interpret=interpret,
-    )(counts, scales, lists, tri_tab, *planes)
-    return occ.reshape(-1)[:n] != 0, overflow.sum()
+    out_shape = jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32)
+
+    def run(lsts, cnts, scls, mv, shared):
+        return pl.pallas_call(
+            functools.partial(_any_cluster_kernel, cb, mv),
+            grid_spec=_grid_spec(tiles, mv, 1, shared),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cnts, scls, lsts, tri_tab, *planes)
+
+    occ = run(lists, counts, scales, maxv, False)
+
+    if C > maxv:
+        all_occ = occ.reshape(tiles, -1).min(axis=1) > 0
+        unresolved = (overflow > 0) & ~all_occ
+        any_un = jnp.any(unresolved)
+
+        lists_full, maxv_full = _full_lists(C)
+        zscale = jnp.zeros((tiles,), jnp.float32)
+
+        def fallback(o):
+            counts_f = jnp.where(unresolved, jnp.int32(C), 0)
+            occ_f = run(lists_full, counts_f, zscale, maxv_full, True)
+            m = jnp.repeat(unresolved, TILE_ROWS)[:, None]
+            return jnp.where(m, occ_f, o)
+
+        occ = jax.lax.cond(any_un, fallback, lambda o: o, occ)
+        stats = {
+            "overflow": overflow.sum(),
+            "retraced": any_un.astype(jnp.int32),
+            "unresolved_tiles": unresolved.sum().astype(jnp.int32),
+        }
+    else:
+        stats = zero_trace_stats()
+    return occ.reshape(-1)[:n] != 0, stats

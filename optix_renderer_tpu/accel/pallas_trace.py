@@ -172,7 +172,8 @@ GROUP_CLUSTER = 64  # triangles per grouped-layout cluster (8 groups x 8 sublane
 
 
 def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
-                           mesh_id=None, area=None) -> jnp.ndarray:
+                           mesh_id=None, area=None,
+                           cluster_min=None, cluster_max=None) -> jnp.ndarray:
     """(C*8, 128) f32 cluster-grouped table for the big-scene tier.
 
     Each 64-triangle cluster is one DMA-aligned (8, 128) block: triangle
@@ -180,13 +181,25 @@ def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
     (attributes as in :func:`pack_tri_table` columns).  The kernel loads
     the block as a value and lane-extracts columns (Mosaic has no
     lane-offset ref reads).
+
+    The cluster's own AABB rides the otherwise-unused pad columns (attr
+    15 of groups 0-5 = bmin.xyz then bmax.xyz, replicated across the
+    sublane axis) so the cluster kernel's per-lane slab pretest gets the
+    bounds with the same DMA as the triangles.
     """
     flat = np.asarray(pack_tri_table(
         tri_v0, tri_e1, tri_e2, prim_id,
         normal=normal, mesh_id=mesh_id, area=area, pad_to=GROUP_CLUSTER,
     ))
     C = flat.shape[0] // GROUP_CLUSTER
-    a = flat.reshape(C, 8, 8, 16)  # (cluster, group, sublane, attr)
+    a = flat.reshape(C, 8, 8, 16).copy()  # (cluster, group, sublane, attr)
+    if cluster_min is not None:
+        bounds = np.concatenate(
+            [np.asarray(cluster_min, np.float32), np.asarray(cluster_max, np.float32)],
+            axis=1,
+        )  # (C, 6)
+        for g in range(6):
+            a[:, g, :, 15] = bounds[:, g][:, None]
     return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(C * 8, 128))
 
 

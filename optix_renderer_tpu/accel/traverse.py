@@ -81,6 +81,14 @@ def _on_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _assert_zero_tmin(t_min) -> None:
+    """The Pallas kernels hardcode t > 0; a nonzero t_min must fail loudly
+    rather than silently differ from the CPU lowerings."""
+    assert isinstance(t_min, (int, float)) and float(t_min) == 0.0, (
+        f"Pallas trace tiers only support t_min == 0 (got {t_min})"
+    )
+
+
 def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) -> Hit:
     """Closest hit over a ray batch, dispatching on backend + scene size
     (both static): Pallas sublane-chunk brute force on TPU, chunk-unrolled
@@ -88,13 +96,14 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
     Hit in ORIGINAL triangle ids."""
     T = bvh.tri_v0.shape[0]
     if not _on_cpu():
+        _assert_zero_tmin(t_min)
         if T <= PALLAS_BRUTE_MAX_TRIS:
             from .pallas_trace import trace_closest_tiles
 
             return trace_closest_tiles(bvh.tri_tab, rays, t_max=t_max)
         from .pallas_cluster import trace_closest_clusters
 
-        ch, _overflow = trace_closest_clusters(
+        ch, _stats = trace_closest_clusters(
             bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
         )
         return Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
@@ -105,21 +114,31 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
 
 def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
     """Visibility query (see trace_closest for dispatch)."""
+    occ, _stats = trace_any_with_stats(bvh, rays, t_min, t_max)
+    return occ
+
+
+def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF):
+    """Visibility query returning (occluded, trace stats dict) — the stats
+    carry the cluster tier's cull-overflow/re-trace observability
+    (pallas_cluster.zero_trace_stats keys; zeros on the other tiers)."""
+    from .pallas_cluster import zero_trace_stats
+
     T = bvh.tri_v0.shape[0]
     if not _on_cpu():
+        _assert_zero_tmin(t_min)
         if T <= PALLAS_BRUTE_MAX_TRIS:
             from .pallas_trace import trace_any_tiles
 
-            return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max)
+            return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max), zero_trace_stats()
         from .pallas_cluster import trace_any_clusters
 
-        occ, _overflow = trace_any_clusters(
+        return trace_any_clusters(
             bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
         )
-        return occ
     if T <= BRUTE_MAX_TRIS:
-        return trace_any_brute(bvh, rays, t_min, t_max)
-    return trace_any_bvh(bvh, rays, t_min, t_max)
+        return trace_any_brute(bvh, rays, t_min, t_max), zero_trace_stats()
+    return trace_any_bvh(bvh, rays, t_min, t_max), zero_trace_stats()
 
 
 def trace_any_brute(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarray:
@@ -210,6 +229,11 @@ def trace_closest_brute(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> 
 
 def trace_closest_bvh(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) -> Hit:
     """Closest-hit skip-link BVH walk. Returns Hit in ORIGINAL tri ids."""
+    if bvh.num_nodes == 0:
+        raise ValueError(
+            "BVH has no skip-link nodes (built on a non-CPU backend above the "
+            "brute tier, where the cluster kernels own traversal)"
+        )
     o = rays.origin
     d = rays.direction
     n_nodes = bvh.num_nodes
@@ -268,6 +292,11 @@ def trace_any_bvh(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.nd
     sentinel. t_max may be per-ray (R,) — used for shadow rays toward a
     sampled light point.
     """
+    if bvh.num_nodes == 0:
+        raise ValueError(
+            "BVH has no skip-link nodes (built on a non-CPU backend above the "
+            "brute tier, where the cluster kernels own traversal)"
+        )
     o = rays.origin
     d = rays.direction
     n_nodes = bvh.num_nodes

@@ -161,12 +161,42 @@ def main(argv=None) -> int:
             state = sharding.shard_render_state(r.state, mesh)
             ds = sharding.replicate(r.device_scene, mesh)
             bvh = sharding.replicate(r.bvh, mesh)
+            alive_frames = []
+            stat_frames = []
+            t_loop = time.perf_counter()
             for _ in range(spp):
                 state, r.gbuffers, r.aux = frame(state, ds, bvh)
+                if "path_alive_counts" in r.aux:
+                    alive_frames.append(r.aux["path_alive_counts"])
+                if "trace_overflow" in r.aux:
+                    stat_frames.append(
+                        (r.aux["trace_overflow"], r.aux["trace_retraced"],
+                         r.aux["trace_unresolved"])
+                    )
             jax.block_until_ready(state.accum)
+            r.metrics["seconds"] += time.perf_counter() - t_loop
             r.state = state  # image()/checkpoints gather lazily
+            # honest ray accounting, matching Renderer.render/metrics:
+            # primary + RATIO shadow samples + 2 rays (NEE + bounce) per
+            # alive lane per bounce, aggregated across the device shards
+            n_px = width * height
+            rays = spp * n_px
+            if mode == RendererType.RATIO:
+                rays += spp * n_px * r.ratio_samples
+            if alive_frames:
+                # each frame's counts: (n_devices * depth,) shard-stacked
+                alive = np.stack(
+                    [np.asarray(a, np.int64).reshape(args.devices, -1).sum(axis=0)
+                     for a in alive_frames]
+                )
+                rays += 2 * int(alive.sum())
+                r.metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
+            for ov, rt, un in stat_frames:
+                r.metrics["cull_overflow"] += int(np.asarray(ov).sum())
+                r.metrics["cull_retraces"] += int(np.asarray(rt).sum())
+                r.metrics["cull_unresolved_tiles"] += int(np.asarray(un).sum())
             r.metrics["frames"] += spp
-            r.metrics["rays_traced"] += spp * width * height
+            r.metrics["rays_traced"] += rays
             log.info("sharded over %d devices (%s)", args.devices, mesh.devices.ravel()[0].platform)
             return
         if args.preview and args.preview < spp:
@@ -192,6 +222,13 @@ def main(argv=None) -> int:
     m = r.metrics
     log_ok(log, "rendered %d frame(s) in %.2fs (%.1f Mrays/s honest, %.2f spp/s)"
            % (m["frames"], dt, m.get("mrays_per_sec", 0.0), m["frames"] / max(dt, 1e-9)))
+    if m.get("cull_retraces", 0):
+        log.warning(
+            "cluster culling overflowed on %d tile(s) across %d trace call(s); "
+            "results stayed exact via full-list re-traces — raise max_visits "
+            "to trade memory for speed",
+            m.get("cull_unresolved_tiles", 0), m["cull_retraces"],
+        )
 
     save_png(os.path.join(args.out, f"{name}.png"), img)
     if args.save_npy:
@@ -252,6 +289,9 @@ def main(argv=None) -> int:
             "rays_traced": m["rays_traced"],
             "mrays_per_sec": round(m.get("mrays_per_sec", 0.0), 2),
             "alive_per_bounce": m.get("alive_per_bounce", []),
+            "cull_overflow": m.get("cull_overflow", 0),
+            "cull_retraces": m.get("cull_retraces", 0),
+            "cull_unresolved_tiles": m.get("cull_unresolved_tiles", 0),
         },
     }
     with open(os.path.join(args.out, "render.json"), "w") as f:

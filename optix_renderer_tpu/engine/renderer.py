@@ -89,7 +89,9 @@ def render_tile(
     rstate, ju = rnglib.lcg_randomf(rstate)
     rstate, jv = rnglib.lcg_randomf(rstate)
     rays = cameralib.primary_rays(camera, width, height, ju, jv, lin=lin)
-    si = trace_closest_si(ds, bvh, rays)
+    from ..accel.pallas_cluster import merge_trace_stats
+
+    si, tstats = trace_closest_si(ds, bvh, rays)
 
     aux: dict[str, jnp.ndarray] = {}
     if mode in GBUFFER_MODES:
@@ -103,17 +105,26 @@ def render_tile(
     elif mode == RendererType.PATH:
         from ..integrators.path import path_color
 
-        color, rstate, alive_counts = path_color(ds, bvh, rays, si, rstate, max_depth=path_depth)
+        color, rstate, alive_counts, pstats = path_color(
+            ds, bvh, rays, si, rstate, max_depth=path_depth
+        )
+        tstats = merge_trace_stats(tstats, pstats)
         aux = {"path_alive_counts": alive_counts}
     elif mode == RendererType.RATIO:
         from ..integrators.ratio import ratio_color
 
-        color, rstate, aux = ratio_color(
+        color, rstate, raux, rstats = ratio_color(
             ds, bvh, rays, si, rstate, n_samples=ratio_samples
         )
-        aux = {k: unblock(v).reshape(rows, width, -1) for k, v in aux.items()}
+        tstats = merge_trace_stats(tstats, rstats)
+        aux = {k: unblock(v).reshape(rows, width, -1) for k, v in raux.items()}
     else:
         raise NotImplementedError(f"mode {mode}")
+
+    # cull-overflow observability: (1,)-shaped so shard_map can stack them
+    aux["trace_overflow"] = tstats["overflow"].reshape(1)
+    aux["trace_retraced"] = tstats["retraced"].reshape(1)
+    aux["trace_unresolved"] = tstats["unresolved_tiles"].reshape(1)
 
     color = unblock(color)
     gb = GBuffers(
@@ -219,13 +230,32 @@ class Renderer:
         self.device_scene = build_device_scene(scene, miss_color=miss_color)
         tri_idx = np.asarray(self.device_scene.tri_index)
         tri_verts = np.asarray(self.device_scene.vertices)[tri_idx]
-        norms = np.asarray(self.device_scene.normals)[tri_idx].sum(axis=1)
+        n_corner = np.asarray(self.device_scene.normals)[tri_idx]  # (T, 3, 3)
+        norms = n_corner.sum(axis=1)
         norms /= np.maximum(np.linalg.norm(norms, axis=-1, keepdims=True), 1e-20)
+        # Full-fidelity cluster-tier shading (hit_miss.cuh:30-44 parity) is
+        # needed exactly when the representative-normal fast path would be
+        # inexact: textures bound, or smooth (per-corner-varying) normals.
+        T = len(tri_idx)
+        tri_shade = None
+        if T > 4096:
+            flat_shaded = bool(np.abs(n_corner - n_corner[:, :1]).max() < 1e-6)
+            if self.device_scene.has_textures or not flat_shaded:
+                uv_corner = np.asarray(self.device_scene.uvs)[tri_idx]  # (T, 3, 2)
+                tri_shade = np.concatenate(
+                    [
+                        n_corner.reshape(T, 9),
+                        uv_corner.reshape(T, 6),
+                        np.zeros((T, 1), np.float32),
+                    ],
+                    axis=1,
+                ).astype(np.float32)
         self.bvh = build_bvh(
             tri_verts,
             leaf_size=leaf_size,
             tri_normal=norms,
             tri_mesh=np.asarray(self.device_scene.tri_mesh),
+            tri_shade=tri_shade,
         )
 
         self._frame = _jitted_frame_fn(
@@ -239,8 +269,11 @@ class Renderer:
         # Device-side counts drain lazily on .metrics access: any sync
         # transfer inside the render loop costs tunnel round-trips.
         self._metrics: dict = {"frames": 0, "rays_traced": 0, "seconds": 0.0,
-                               "alive_per_bounce": []}
+                               "alive_per_bounce": [],
+                               "cull_overflow": 0, "cull_retraces": 0,
+                               "cull_unresolved_tiles": 0}
         self._pending_counts: list = []
+        self._pending_stats: list = []
         self.set_camera(scene.cameras[0])
 
     # -- camera ----------------------------------------------------------
@@ -271,6 +304,11 @@ class Renderer:
             frames += 1
             if self.mode == RendererType.PATH and "path_alive_counts" in self.aux:
                 self._pending_counts.append(self.aux["path_alive_counts"])
+            if "trace_overflow" in self.aux:
+                self._pending_stats.append(
+                    (self.aux["trace_overflow"], self.aux["trace_retraced"],
+                     self.aux["trace_unresolved"])
+                )
         jax.block_until_ready(self.state.accum)
         self._metrics["seconds"] += time.perf_counter() - t0
 
@@ -291,6 +329,12 @@ class Renderer:
             self._metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
             # NEE visibility + BSDF bounce per alive lane per frame
             self._metrics["rays_traced"] += 2 * int(alive.sum())
+        if self._pending_stats:
+            for ov, rt, un in self._pending_stats:
+                self._metrics["cull_overflow"] += int(np.asarray(ov).sum())
+                self._metrics["cull_retraces"] += int(np.asarray(rt).sum())
+                self._metrics["cull_unresolved_tiles"] += int(np.asarray(un).sum())
+            self._pending_stats = []
         secs = self._metrics["seconds"]
         self._metrics["mrays_per_sec"] = (
             self._metrics["rays_traced"] / secs / 1e6 if secs else 0.0

@@ -134,9 +134,10 @@ _ONEHOT_MAX_MESHES = 512
 
 
 def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
-    """(N, 9) per-lane mesh attributes [diffuse3, emit3, alpha, is_light,
-    material_id] — exact-precision one-hot matmul for small mesh tables
-    (the TriangleMeshData record fetch of hit_miss.cuh via SBT)."""
+    """(N, 10) per-lane mesh attributes [diffuse3, emit3, alpha, is_light,
+    material_id, diffuse_tex] — exact-precision one-hot matmul for small
+    mesh tables (the TriangleMeshData record fetch of hit_miss.cuh via
+    SBT)."""
     M = ds.mesh_diffuse.shape[0]
     pack = jnp.concatenate(
         [
@@ -145,9 +146,10 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
             ds.mesh_alpha[:, None],
             ds.mesh_is_light.astype(jnp.float32)[:, None],
             ds.mesh_material_id.astype(jnp.float32)[:, None],
+            ds.mesh_diffuse_tex.astype(jnp.float32)[:, None],
         ],
         axis=1,
-    )  # (M, 9)
+    )  # (M, 10)
     if M > _ONEHOT_MAX_MESHES:
         return pack[mesh_id]
     onehot = (mesh_id[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(jnp.float32)
@@ -159,21 +161,22 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_surface_interaction_from_cluster(
-    ds: DeviceScene, rays: Ray, ch, miss_color: jnp.ndarray | None = None
+    ds: DeviceScene, rays: Ray, ch, miss_color: jnp.ndarray | None = None,
+    shade_tab: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
     """SurfaceInteraction from a ClusterHit (big-scene Pallas tier).
 
-    The kernel already selected the winning triangle's representative
-    normal, mesh id and area during traversal (accel.pallas_cluster), so
-    the only remaining fetch is the small per-mesh material table.
+    The kernel selects the winning triangle's representative normal, mesh
+    id and area during traversal (accel.pallas_cluster), so the per-mesh
+    material fetch is one small one-hot matmul.
 
-    Documented deviations of the big-scene fast path (vs hit_miss.cuh):
-    * n_geom is the triangle's *representative* normal (normalized sum of
-      its vertex normals) rather than barycentric-interpolated — exact for
-      flat-shaded geometry, approximate within a triangle for smooth
-      meshes;
-    * uv is 0 and diffuse textures are not sampled (use the gather path
-      for textured giga-scenes).
+    Fidelity is a static property of the scene: when ``shade_tab`` (the
+    (T, 16) per-corner attribute table, accel.build.BVH.shade_tab) is
+    present, normals are barycentric-interpolated, uv is interpolated and
+    wrapped, and diffuse textures are sampled — matching hit_miss.cuh:30-44
+    exactly, at the cost of ONE packed (N, 16) row gather.  Without it
+    (flat-shaded untextured scenes, where the representative normal IS the
+    corner normal and uv is unused) the gather is skipped and uv reads 0.
     """
     if miss_color is None:
         miss_color = ds.miss_color
@@ -182,12 +185,35 @@ def build_surface_interaction_from_cluster(
     rows = _mesh_attr_rows(ds, jnp.where(valid, ch.mesh_id, 0))
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
+
+    full = shade_tab is not None and shade_tab.shape[0] > 1
+    if full:
+        srows = jnp.take(shade_tab, jnp.maximum(ch.tri_id, 0), axis=0)  # (N, 16)
+        u = ch.bary_u[:, None]
+        v = ch.bary_v[:, None]
+        w = 1.0 - u - v
+        n_geom = cm.normalize(
+            w * srows[:, 0:3] + u * srows[:, 3:6] + v * srows[:, 6:9], eps=1e-30
+        )
+        uv = w * srows[:, 9:11] + u * srows[:, 11:13] + v * srows[:, 13:15]
+        uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
+    else:
+        n_geom = ch.normal
+        uv = jnp.zeros((p.shape[0], 2), jnp.float32)
+
+    diffuse = rows[:, 0:3]
+    if full and ds.has_textures:
+        tex_id = rows[:, 9].astype(jnp.int32)
+        has_tex = tex_id >= 0
+        tex_rgba = sample_bilinear(ds.textures, tex_id, uv[:, 0], uv[:, 1])
+        diffuse = jnp.where(has_tex[:, None], tex_rgba[:, :3], diffuse)
+
     return SurfaceInteraction(
         hit=valid,
         p=jnp.where(vmask, p, zero3),
-        uv=jnp.zeros((p.shape[0], 2), jnp.float32),
-        n_geom=jnp.where(vmask, ch.normal, zero3),
-        diffuse=jnp.where(vmask, rows[:, 0:3], miss_color[None, :]),
+        uv=jnp.where(vmask, uv, 0.0),
+        n_geom=jnp.where(vmask, n_geom, zero3),
+        diffuse=jnp.where(vmask, diffuse, miss_color[None, :]),
         alpha=jnp.where(valid, jnp.clip(rows[:, 6], 0.01, 1.0), 0.0),
         emit=jnp.where(vmask, rows[:, 3:6], zero3),
         is_light=valid & (rows[:, 7] > 0.5),
@@ -250,9 +276,11 @@ def _permute_cluster_hit(ch, perm: jnp.ndarray):
 def trace_closest_si(
     ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None,
     coherent: bool = True,
-) -> SurfaceInteraction:
+):
     """Trace + shade in one step, picking the fastest correct path for the
     backend/scene size (the single entry point integrators should use).
+    Returns (SurfaceInteraction, trace stats dict — the cluster tier's
+    cull-overflow/re-trace observability, zeros on the other tiers).
 
     On TPU above the brute tier this routes through the clustered Pallas
     kernel whose hit already carries shading attributes — avoiding the
@@ -262,9 +290,11 @@ def trace_closest_si(
     + origin Morton cell and unsorts the hits after: the cluster tier
     culls per ray tile, and incoherent tiles degenerate to visiting every
     cluster in the frustum-union.  Results are bit-identical either way
-    (the cull is conservative, so the closest hit doesn't depend on tile
-    grouping); sorting is pure overhead for small scenes and skipped.
+    (the cull is conservative and overflow is checked, so the closest hit
+    doesn't depend on tile grouping); sorting is pure overhead for small
+    scenes and skipped.
     """
+    from ..accel.pallas_cluster import zero_trace_stats
     from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu, trace_closest
 
     T = bvh.tri_v0.shape[0]
@@ -272,10 +302,13 @@ def trace_closest_si(
         from ..accel.pallas_cluster import trace_closest_clusters
 
         if coherent:
-            ch, _overflow = trace_closest_clusters(
+            ch, stats = trace_closest_clusters(
                 bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
             )
-            return build_surface_interaction_from_cluster(ds, rays, ch, miss_color)
+            si = build_surface_interaction_from_cluster(
+                ds, rays, ch, miss_color, shade_tab=bvh.shade_tab
+            )
+            return si, stats
 
         lo = bvh.cluster_min.min(axis=0)
         hi = bvh.cluster_max.max(axis=0)
@@ -283,12 +316,15 @@ def trace_closest_si(
         od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
         od_s = jnp.take(od, perm, axis=0)
         sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-        ch_s, _overflow = trace_closest_clusters(
+        ch_s, stats = trace_closest_clusters(
             bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays
         )
         n = rays.origin.shape[0]
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
         ch = _permute_cluster_hit(ch_s, inv)
-        return build_surface_interaction_from_cluster(ds, rays, ch, miss_color)
+        si = build_surface_interaction_from_cluster(
+            ds, rays, ch, miss_color, shade_tab=bvh.shade_tab
+        )
+        return si, stats
     hit = trace_closest(bvh, rays)
-    return build_surface_interaction(ds, rays, hit, miss_color)
+    return build_surface_interaction(ds, rays, hit, miss_color), zero_trace_stats()

@@ -79,14 +79,19 @@ def path_color(
     ray_eps: float = 1e-3,
 ):
     """Radiance for each primary ray; returns (color (N, 3), rng_state,
-    alive_counts (max_depth,) — lanes alive at each bounce, for ray-count
-    accounting (each alive lane traces one NEE shadow ray + one bounce ray).
+    alive_counts (max_depth,), trace_stats).  alive_counts holds lanes
+    alive at each bounce, for ray-count accounting (each alive lane traces
+    one NEE shadow ray + one bounce ray).
 
     Outer PATH-mode wrapping (deviceCode.cu:146-153): miss lanes get the
     background, direct light hits get raw emission; everything else is the
     path estimate (floored at EPS per channel, path.cuh:254-256).
+
+    The returned tuple's 4th element is the summed trace-stats dict
+    (cluster-tier cull overflow / checked re-traces) over all bounces.
     """
-    from ..accel.traverse import trace_any
+    from ..accel.pallas_cluster import merge_trace_stats, zero_trace_stats
+    from ..accel.traverse import trace_any_with_stats
     from ..engine.shade import trace_closest_si
 
     n = rays.origin.shape[0]
@@ -96,6 +101,7 @@ def path_color(
     v0 = cm.normalize(rays.origin - si.p, eps=1e-30)
     init = dict(
         alive_counts=jnp.zeros((max_depth,), jnp.int32),
+        trace_stats=zero_trace_stats(),
         color=jnp.zeros((n, 3), jnp.float32),
         tp=jnp.ones((n, 3), jnp.float32),
         alive=si.hit & ~si.is_light,
@@ -136,7 +142,7 @@ def path_color(
         ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
 
         shadow_ray = Ray(origin=shadow_origin, direction=ldir)
-        occluded = trace_any(bvh, shadow_ray, t_max=dist * (1.0 - 1e-3))
+        occluded, any_stats = trace_any_with_stats(bvh, shadow_ray, t_max=dist * (1.0 - 1e-3))
 
         light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))
         wi_local_nee = cm.normalize(cm.apply_mat(to_local, ldir), eps=1e-30)
@@ -164,7 +170,7 @@ def path_color(
         dir_world = cm.normalize(cm.apply_mat(to_world, wi_local), eps=1e-30)
         bounce_ray = Ray(origin=s["p"] + s["n"] * ray_eps, direction=dir_world)
         # bounce rays are incoherent: let the big-scene tier sort them
-        bounce_si = trace_closest_si(ds, bvh, bounce_ray, coherent=False)
+        bounce_si, closest_stats = trace_closest_si(ds, bvh, bounce_ray, coherent=False)
 
         hit_light = sample_ok & bounce_si.hit & bounce_si.is_light
         d2 = jnp.sum((bounce_si.p - s["p"]) ** 2, axis=-1)
@@ -187,6 +193,9 @@ def path_color(
         c = continue_path[:, None]
         return dict(
             alive_counts=alive_counts,
+            trace_stats=merge_trace_stats(
+                s["trace_stats"], merge_trace_stats(any_stats, closest_stats)
+            ),
             color=color,
             tp=jnp.where(c, new_tp, s["tp"]),
             alive=continue_path,
@@ -215,4 +224,4 @@ def path_color(
     estimate = jnp.maximum(out["color"], EPS)
     color = jnp.where(si.is_light[:, None], si.emit, estimate)
     color = jnp.where(si.hit[:, None], color, ds.miss_color[None, :])
-    return color, out["rng"], out["alive_counts"]
+    return color, out["rng"], out["alive_counts"], out["trace_stats"]

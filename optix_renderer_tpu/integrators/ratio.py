@@ -39,10 +39,14 @@ from .ltc_direct import ltc_direct
 from .path import _clamp_dot, gather_light_attrs, pdf_area_to_solid_angle
 
 
-def _stochastic_direct_once(ds, bvh, si, wo_local, to_local, rng, ray_eps):
-    """One light sample -> (shadowed rgb, unshadowed rgb, rng)."""
-    from ..accel.traverse import trace_any
+def _stochastic_direct_sample(ds, si, wo_local, to_local, rng, ray_eps):
+    """One light sample -> (unshadowed rgb, shadow ray dir, dist, rng).
 
+    The visibility trace is NOT issued here: the caller batches all
+    n_samples shadow rays into one any-hit call (the Pallas kernels are
+    throughput-bound, so one (n_samples*N,) trace beats n_samples
+    dispatches — measured 1.55x on config 3).
+    """
     num_lights = ds.num_lights
     rng, u1, u2 = rnglib.lcg_randomf2(rng)  # rand1 (ratio.cuh:29)
     rng, _, _ = rnglib.lcg_randomf2(rng)  # rand2 drawn but unused (ratio.cuh:30)
@@ -68,10 +72,7 @@ def _stochastic_direct_once(ds, bvh, si, wo_local, to_local, rng, ray_eps):
     contrib = lemit * brdf * weight[:, None]
     contrib = jnp.where((light_pdf_w > 0.0)[:, None], cm.check_positive(contrib), 0.0)
 
-    # visibility of the sampled point (see docstring deviations)
-    occluded = trace_any(bvh, Ray(origin=shadow_origin, direction=ldir), t_max=dist * (1.0 - 1e-3))
-
-    return jnp.where(occluded[:, None], 0.0, contrib), contrib, rng
+    return contrib, ldir, dist, rng
 
 
 def ratio_color(
@@ -86,8 +87,10 @@ def ratio_color(
     """RATIO-mode frame (deviceCode.cu:117-144).
 
     Returns (accumulated color = LTC, rng, aux buffers {ltc, sto_direct,
-    sto_no_vis} each (N, k)).
+    sto_no_vis} each (N, k)), trace_stats).
     """
+    from ..accel.traverse import trace_any_with_stats
+
     ltc_color = ltc_direct(ds, rays, si)
 
     wo = cm.normalize(rays.origin - si.p, eps=1e-30)
@@ -95,15 +98,32 @@ def ratio_color(
     wo_local = cm.normalize(cm.apply_mat(to_local, wo), eps=1e-30)
 
     n = rays.origin.shape[0]
-    direct = jnp.zeros((n, 3), jnp.float32)
-    no_vis = jnp.zeros((n, 3), jnp.float32)
     rng = rng_state
+    contribs, dirs, dists = [], [], []
     for _ in range(n_samples):  # 4-sample average (deviceCode.cu:128-136)
-        d, nv, rng = _stochastic_direct_once(ds, bvh, si, wo_local, to_local, rng, ray_eps)
-        direct = direct + d
-        no_vis = no_vis + nv
-    direct = direct / n_samples
-    no_vis = no_vis / n_samples
+        c, ldir, dist, rng = _stochastic_direct_sample(
+            ds, si, wo_local, to_local, rng, ray_eps
+        )
+        contribs.append(c)
+        dirs.append(ldir)
+        dists.append(dist)
+
+    # one batched (n_samples*N,) visibility trace (see _stochastic_direct_sample)
+    shadow_origin = si.p + si.n_geom * ray_eps
+    all_rays = Ray(
+        origin=jnp.tile(shadow_origin, (n_samples, 1)),
+        direction=jnp.concatenate(dirs, axis=0),
+    )
+    all_dist = jnp.concatenate(dists, axis=0)
+    occ_all, trace_stats = trace_any_with_stats(
+        bvh, all_rays, t_max=all_dist * (1.0 - 1e-3)
+    )
+    occ = occ_all.reshape(n_samples, n)
+
+    no_vis = sum(contribs) / n_samples
+    direct = sum(
+        jnp.where(occ[k][:, None], 0.0, contribs[k]) for k in range(n_samples)
+    ) / n_samples
 
     # grayscale means (deviceCode.cu:140-143)
     g_direct = jnp.mean(direct, axis=-1, keepdims=True)
@@ -119,4 +139,4 @@ def ratio_color(
     sto_n = jnp.where(hit, jnp.where(is_l, emit_gray, g_no_vis), 0.0)
 
     aux = {"ltc": ltc_buf, "sto_direct": sto_d, "sto_no_vis": sto_n}
-    return ltc_buf, rng, aux
+    return ltc_buf, rng, aux, trace_stats

@@ -39,10 +39,10 @@ def test_cluster_closest_matches_brute(setup):
     r, rays = setup
     bvh = r.bvh
     assert bvh.tri_v0.shape[0] > 4096  # actually exercises the cluster tier
-    ch, overflow = pc.trace_closest_clusters(
+    ch, stats = pc.trace_closest_clusters(
         bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    assert int(overflow) == 0
+    assert int(stats["overflow"]) == 0
     tris = jnp.stack(
         [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
     )
@@ -91,17 +91,138 @@ def test_cluster_si_matches_reference_attrs(setup):
 def test_cluster_any_occlusion(setup):
     r, rays = setup
     bvh = r.bvh
-    occ, overflow = pc.trace_any_clusters(
+    occ, stats = pc.trace_any_clusters(
         bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
         t_max=jnp.full((rays.origin.shape[0],), 1e4, jnp.float32),
         interpret=True,
     )
-    assert int(overflow) == 0
+    assert int(stats["overflow"]) == 0
     tris = jnp.stack(
         [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
     )
     want = intersect_brute(tris, rays, t_max=1e4)
     assert (np.asarray(occ) == (np.asarray(want.tri_id) >= 0)).all()
+
+
+@pytest.fixture(scope="module")
+def big_setup(tmp_path_factory):
+    """~20k tris / 300+ clusters: enough clusters that a small max_visits
+    genuinely overflows (the cap floor is one 128-entry list block)."""
+    d = tmp_path_factory.mktemp("terrain_big")
+    path = procedural.write_terrain_scene(str(d), grid=100, width=32, height=32)
+    scene = parse_scene(path)
+    r = Renderer(scene, width=32, height=32, mode=RendererType.MASK)
+    return r
+
+
+def test_overflow_is_checked_not_silent(big_setup):
+    """VERDICT r2 item 1: a tile overflowing max_visits must degrade to a
+    re-trace, never to a wrong image.  Incoherent random rays + a partial
+    final tile (n % 1024 != 0, the r2 zero-pad frustum bug) + max_visits
+    far below the cluster count: the result must still equal the oracle,
+    and the stress must actually overflow."""
+    r = big_setup
+    bvh = r.bvh
+    C = bvh.cluster_min.shape[0]
+    assert C > 128
+
+    rng = np.random.default_rng(7)
+    n = 1000  # partial tile on purpose
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    o[:, 1] = hi[1] * 1.2  # above the terrain, looking around
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32), direction=jnp.asarray(d, jnp.float32))
+
+    ch, stats = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        max_visits=128, interpret=True,
+    )
+    assert int(stats["overflow"]) > 0  # the stress actually stressed
+
+    tris = jnp.stack(
+        [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
+    )
+    want = intersect_brute(tris, rays)
+    want_ids = np.where(
+        np.asarray(want.tri_id) >= 0,
+        np.asarray(bvh.prim_id)[np.maximum(np.asarray(want.tri_id), 0)],
+        -1,
+    )
+    assert (np.asarray(ch.tri_id) == want_ids).mean() > 0.999  # t-ties only
+    m = want_ids >= 0
+    assert m.mean() > 0.2
+    np.testing.assert_allclose(
+        np.asarray(ch.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-3
+    )
+
+    # any-hit under the same stress
+    occ, astats = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((n,), 1e5, jnp.float32),
+        max_visits=128, interpret=True,
+    )
+    assert (np.asarray(occ) == (want_ids >= 0)).all()
+
+
+@pytest.fixture(scope="module")
+def gallery_setup(tmp_path_factory):
+    """Textured, smooth-normal multi-mesh scene above the brute cutoff:
+    the workload where the cluster tier's full-fidelity shading (VERDICT
+    r2 item 3 / hit_miss.cuh:30-44 parity) must engage."""
+    d = tmp_path_factory.mktemp("gallery")
+    path = procedural.write_gallery_scene(str(d), width=64, height=64)
+    scene = parse_scene(path)
+    r = Renderer(scene, width=64, height=64, mode=RendererType.MASK)
+    W = H = 64
+    n = W * H
+    lin = jnp.arange(n, dtype=jnp.uint32)
+    rstate = rnglib.make_rng(10007, lin)
+    rstate, ju = rnglib.lcg_randomf(rstate)
+    rstate, jv = rnglib.lcg_randomf(rstate)
+    rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
+    return r, rays
+
+
+def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
+    """On textured/smooth scenes the cluster tier must interpolate normals
+    and uvs and sample diffuse textures exactly like the gather path
+    (hit_miss.cuh:30-44) — the r2 fast path's uv=0 / representative-normal
+    shortcuts are only allowed when provably exact."""
+    from optix_renderer_tpu.core.types import Hit
+    from optix_renderer_tpu.engine.shade import build_surface_interaction
+
+    r, rays = gallery_setup
+    ds, bvh = r.device_scene, r.bvh
+    assert ds.num_tris > 4096  # cluster tier
+    assert ds.has_textures
+    assert bvh.shade_tab.shape[0] == ds.num_tris  # full fidelity enabled
+
+    ch, stats = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+    )
+    si_c = build_surface_interaction_from_cluster(
+        ds, rays, ch, shade_tab=bvh.shade_tab
+    )
+    hit = Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
+    si_g = build_surface_interaction(ds, rays, hit)
+
+    m = np.asarray(si_g.hit)
+    assert m.mean() > 0.8
+    assert (np.asarray(si_c.hit) == m).all()
+    for name in ("n_geom", "uv", "diffuse", "emit"):
+        got = np.asarray(getattr(si_c, name))[m]
+        want = np.asarray(getattr(si_g, name))[m]
+        np.testing.assert_allclose(got, want, atol=1e-3, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(si_c.alpha)[m], np.asarray(si_g.alpha)[m], atol=1e-5
+    )
+    assert (np.asarray(si_c.material_id)[m] == np.asarray(si_g.material_id)[m]).all()
+    # textures actually sampled: the checker floor must vary per pixel
+    diff = np.asarray(si_c.diffuse)[m]
+    assert diff.std(axis=0).max() > 0.05
 
 
 def test_coherence_sorted_trace_matches_unsorted(setup):
