@@ -63,11 +63,12 @@ class BVH:
     # kernels (accel.pallas_trace.pack_tri_table layout)
     cluster_min: jnp.ndarray  # (C, 3) f32 cluster AABBs (big-scene tier)
     cluster_max: jnp.ndarray  # (C, 3) f32
-    shade_tab: jnp.ndarray  # (T, 16) f32 per-corner shading attributes in
-    # ORIGINAL tri order [n1(3) n2(3) n3(3) uv1(2) uv2(2) uv3(2) pad] for
-    # full-fidelity interpolation in the cluster tier; (1, 16) dummy when
-    # the representative-normal fast path is exact (flat-shaded untextured
-    # scenes) or the scene uses the brute tier
+    attr_tab: jnp.ndarray  # (T, ATTR_COLS) f32 per-triangle shading
+    # attributes in ORIGINAL tri order: [n1(3) n2(3) n3(3) uv1(2) uv2(2)
+    # uv3(2) mesh_id(1) area(1) pad] — the cluster tier's post-trace
+    # attribute source (one packed row gather by tri_id replaces both the
+    # reference's SBT record fetch and barycentric attribute interpolation
+    # inputs, hit_miss.cuh:14-50); (1, ATTR_COLS) dummy on the brute tier
 
     @property
     def num_nodes(self) -> int:
@@ -162,6 +163,22 @@ def _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size):
 
 
 CLUSTER_SIZE = 64  # triangles per cluster (big-scene Pallas tier)
+ATTR_COLS = 24  # attr_tab row width (17 used, padded for aligned gathers)
+
+
+def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
+    """(T, ATTR_COLS) per-triangle attribute rows in ORIGINAL tri order.
+
+    n_corner (T, 3, 3) per-corner normals, uv_corner (T, 3, 2) per-corner
+    uvs, tri_mesh (T,), area (T,).  mesh ids are exact as f32 < 2^24.
+    """
+    T = len(tri_mesh)
+    tab = np.zeros((T, ATTR_COLS), np.float32)
+    tab[:, 0:9] = np.asarray(n_corner, np.float32).reshape(T, 9)
+    tab[:, 9:15] = np.asarray(uv_corner, np.float32).reshape(T, 6)
+    tab[:, 15] = np.asarray(tri_mesh, np.float32)
+    tab[:, 16] = np.asarray(area, np.float32)
+    return tab
 
 
 def build_bvh(
@@ -169,15 +186,16 @@ def build_bvh(
     leaf_size: int = 4,
     tri_normal: np.ndarray | None = None,
     tri_mesh: np.ndarray | None = None,
-    tri_shade: np.ndarray | None = None,
+    tri_attr: np.ndarray | None = None,
 ) -> BVH:
     """Build from (T, 3, 3) float32 triangle vertices.
 
-    ``tri_normal`` (per-triangle representative unit normal) and
-    ``tri_mesh`` (mesh id per triangle) ride the packed table so the
-    Pallas cluster kernel can emit shading attributes with the hit.
-    ``tri_shade`` is the optional (T, 16) per-corner attribute table (see
-    BVH.shade_tab) in ORIGINAL triangle order, stored untouched.
+    ``tri_attr`` is the (T, ATTR_COLS) per-triangle attribute table (see
+    BVH.attr_tab / pack_attr_tab) in ORIGINAL triangle order, stored
+    untouched; when absent on a big scene a flat-shaded default is
+    synthesized from ``tri_normal``/``tri_mesh`` (geometry-only builds,
+    e.g. traversal tests).  ``tri_normal``/``tri_mesh`` also ride the
+    packed triangle table for the brute tier.
     """
     from .pallas_trace import TRI_SUB, pack_tri_table, pack_tri_table_grouped
 
@@ -241,14 +259,28 @@ def build_bvh(
         )
     else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
-    if tri_shade is None or T <= 4096:
-        shade_tab = np.zeros((1, 16), np.float32)
+    if T <= 4096:
+        attr_tab = np.zeros((1, ATTR_COLS), np.float32)
+    elif tri_attr is not None:
+        attr_tab = np.asarray(tri_attr, np.float32)
+        assert attr_tab.shape == (T, ATTR_COLS)
     else:
-        shade_tab = np.asarray(tri_shade, np.float32)
-        assert shade_tab.shape == (T, 16)
+        # geometry-only default: flat representative normals, zero uv
+        rep = (np.zeros((T, 3), np.float32) if tri_normal is None
+               else np.asarray(tri_normal, np.float32))
+        mesh = (np.zeros(T, np.int32) if tri_mesh is None
+                else np.asarray(tri_mesh))
+        v0o = tri_verts[:, 0]
+        orig_area = 0.5 * np.linalg.norm(
+            np.cross(tri_verts[:, 1] - v0o, tri_verts[:, 2] - v0o), axis=-1
+        )
+        attr_tab = pack_attr_tab(
+            np.repeat(rep[:, None, :], 3, axis=1),
+            np.zeros((T, 3, 2), np.float32), mesh, orig_area,
+        )
     return BVH(
         tri_tab=tri_tab,
-        shade_tab=jnp.asarray(shade_tab),
+        attr_tab=jnp.asarray(attr_tab),
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),
         node_min=f32(bmin),

@@ -25,10 +25,11 @@ TPU-native structure chosen here keeps ALL hot work dense:
    ride the grouped table's pad columns, so they arrive with the same
    DMA) and the 8x(8 tris x 128 rays) Moller-Trumbore block is skipped
    entirely when no lane in the tile can improve — the per-RAY
-   refinement the tile-level frustum cull cannot express.  The winning
-   triangle's shading attributes (unit normal, mesh id, area — packed
-   table cols 10-14) are selected during the test, eliminating the
-   post-trace per-lane gather.
+   refinement the tile-level frustum cull cannot express.  The kernel
+   selects only (t, prim id, bary); shading attributes are gathered
+   post-trace by id from a packed per-triangle table (one (N, K) row
+   gather), which also provides interpolated normals/uvs/textures at
+   full fidelity.
 
 Correctness: a tile whose overlapping-cluster count exceeds
 ``max_visits`` keeps the nearest ``max_visits`` (by conservative entry
@@ -48,9 +49,7 @@ front-to-back early-out with t=inf.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import Ray
+from ..core.types import Hit, Ray
 from .pallas_trace import GROUP_CLUSTER, LANES, TRI_SUB, _mt_chunk
 
 _INF = np.float32(3.0e38)
@@ -82,29 +81,6 @@ def _cid_bits(n_clusters: int) -> int:
     while (1 << b) < n_clusters:
         b += 1
     return b
-
-pytree = partial(dataclasses.dataclass, frozen=True)
-
-
-def _register(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
-    return cls
-
-
-@_register
-@pytree
-class ClusterHit:
-    """Closest hit + kernel-selected shading attributes (flat (N,) each)."""
-
-    t: jnp.ndarray
-    tri_id: jnp.ndarray  # i32, original ids; -1 = miss
-    bary_u: jnp.ndarray
-    bary_v: jnp.ndarray
-    normal: jnp.ndarray  # (N, 3) representative unit normal of the hit tri
-    mesh_id: jnp.ndarray  # i32
-    area: jnp.ndarray
-
 
 def zero_trace_stats() -> dict:
     """Shape/dtype-stable trace statistics (carryable through lax loops)."""
@@ -260,7 +236,7 @@ def _inv_dir(a):
 
 
 def _lane_slab(blk, ox, oy, oz, ix, iy, iz):
-    """Per-lane ray-vs-cluster-AABB slab test.
+    """Per-lane ray-vs-cluster-AABB slab test over the whole tile.
 
     The cluster bounds ride the grouped table's pad columns (attr 15 of
     groups 0-5 = bmin.xyz, bmax.xyz, replicated across sublanes), so a
@@ -289,8 +265,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                             tmax_ref,
-                            t_ref, pid_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref,
-                            mesh_ref, area_ref,
+                            t_ref, pid_ref, u_ref, v_ref,
                             lst_scr, buf, sems, lsem):
     ti = pl.program_id(0)
     cmask = (1 << cid_bits) - 1
@@ -303,8 +278,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
 
     t_ref[:] = tmax_ref[:]
     pid_ref[:] = jnp.full(t_ref.shape, -1.0, jnp.float32)
-    for r in (u_ref, v_ref, nx_ref, ny_ref, nz_ref, mesh_ref, area_ref):
-        r[:] = jnp.zeros(t_ref.shape, jnp.float32)
+    u_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
+    v_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
 
     lcopy.wait()
 
@@ -341,7 +316,12 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
             blk = buf[k % _N_BUF]  # (8, 128) value
 
             # per-lane AABB pretest: skip the whole 64-triangle MT block
-            # when no ray in the tile can improve inside this cluster
+            # when no ray in the tile can improve inside this cluster.
+            # (A/B-measured alternatives, both slower on v5e: per-row-group
+            # pl.when guards — 8 vector->scalar any() syncs per visit cost
+            # more than the skipped stripes save, 8.6 -> 3.4 Mrays/s on
+            # the 1M terrain — and a sublane-triangle (8,1)x(1,128) MT
+            # layout with per-stripe masking, 8.6 -> 4.5.)
             near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
             live = (near_l <= far_l) & (far_l > 0.0) & (near_l < t_ref[:])
 
@@ -356,9 +336,11 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                     t_best = jnp.min(tc_m, axis=0)
                     upd = t_best < t
 
-                    # attribute selection (~half the ops) only on improvement
+                    # (t, prim, bary) selection only on improvement;
+                    # shading attributes are gathered post-trace by id
                     @pl.when(jnp.any(upd))
-                    def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd, uc=uc, vc=vc, ci=ci):
+                    def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd,
+                                 uc=uc, vc=vc, ci=ci):
                         best = jnp.argmin(tc_m, axis=0)[None]
                         sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
                         sel = sub == best
@@ -367,18 +349,11 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                         def pick(a):
                             return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
 
-                        def pick_col(j):
-                            return pick(jnp.broadcast_to(col(j), tc_m.shape))
-
+                        prim = jnp.broadcast_to(col(9), tc_m.shape)
                         t_ref[:] = jnp.where(upd, t_best, t)
-                        pid_ref[:] = jnp.where(upd, pick_col(9), pid_ref[:])
+                        pid_ref[:] = jnp.where(upd, pick(prim), pid_ref[:])
                         u_ref[:] = jnp.where(upd, pick(uc), u_ref[:])
                         v_ref[:] = jnp.where(upd, pick(vc), v_ref[:])
-                        nx_ref[:] = jnp.where(upd, pick_col(10), nx_ref[:])
-                        ny_ref[:] = jnp.where(upd, pick_col(11), ny_ref[:])
-                        nz_ref[:] = jnp.where(upd, pick_col(12), nz_ref[:])
-                        mesh_ref[:] = jnp.where(upd, pick_col(13), mesh_ref[:])
-                        area_ref[:] = jnp.where(upd, pick_col(14), area_ref[:])
 
             return (k + 1, jnp.max(t_ref[:]))
 
@@ -526,7 +501,12 @@ def trace_closest_clusters(
     max_visits: int = DEFAULT_MAX_VISITS,
     interpret: bool = False,
 ):
-    """Returns (ClusterHit, stats dict) — see ``zero_trace_stats`` keys.
+    """Returns (Hit in ORIGINAL triangle ids, stats dict — see
+    ``zero_trace_stats`` keys).  Shading attributes are NOT selected in
+    the kernel: callers gather them post-trace by tri_id from the packed
+    per-triangle attribute table (accel.build.BVH.attr_tab) — one (N, K)
+    row gather, cheaper than in-kernel per-attribute selection and needed
+    for interpolated-normal/uv/texture fidelity anyway.
 
     Exact regardless of ``max_visits``: overflowing tiles whose result is
     not provably complete are re-traced against the full cluster list.
@@ -548,12 +528,12 @@ def trace_closest_clusters(
     planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.float32)] * 9
+    out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.float32)] * 4
 
     def run(lsts, cnts, scls, mv, shared):
         return pl.pallas_call(
             functools.partial(_closest_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 9, shared),
+            grid_spec=_grid_spec(tiles, mv, 4, shared),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes)
@@ -583,16 +563,13 @@ def trace_closest_clusters(
     else:
         stats = zero_trace_stats()
 
-    t, pid, u, v, nx, ny, nz, mid, ar = outs
+    t, pid, u, v = outs
     flat = lambda a: a.reshape(-1)[:n]
-    hit = ClusterHit(
+    hit = Hit(
         t=flat(t),
         tri_id=flat(pid).astype(jnp.int32),
         bary_u=flat(u),
         bary_v=flat(v),
-        normal=jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1),
-        mesh_id=flat(mid).astype(jnp.int32),
-        area=flat(ar),
     )
     return hit, stats
 

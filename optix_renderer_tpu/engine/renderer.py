@@ -233,29 +233,28 @@ class Renderer:
         n_corner = np.asarray(self.device_scene.normals)[tri_idx]  # (T, 3, 3)
         norms = n_corner.sum(axis=1)
         norms /= np.maximum(np.linalg.norm(norms, axis=-1, keepdims=True), 1e-20)
-        # Full-fidelity cluster-tier shading (hit_miss.cuh:30-44 parity) is
-        # needed exactly when the representative-normal fast path would be
-        # inexact: textures bound, or smooth (per-corner-varying) normals.
+        # Packed per-triangle attribute table for the cluster tier's
+        # post-trace row gather (full hit_miss.cuh:30-44 fidelity:
+        # interpolated normals/uvs + textures on every scene size).
         T = len(tri_idx)
-        tri_shade = None
+        tri_attr = None
         if T > 4096:
-            flat_shaded = bool(np.abs(n_corner - n_corner[:, :1]).max() < 1e-6)
-            if self.device_scene.has_textures or not flat_shaded:
-                uv_corner = np.asarray(self.device_scene.uvs)[tri_idx]  # (T, 3, 2)
-                tri_shade = np.concatenate(
-                    [
-                        n_corner.reshape(T, 9),
-                        uv_corner.reshape(T, 6),
-                        np.zeros((T, 1), np.float32),
-                    ],
-                    axis=1,
-                ).astype(np.float32)
+            from ..accel.build import pack_attr_tab
+
+            uv_corner = np.asarray(self.device_scene.uvs)[tri_idx]  # (T, 3, 2)
+            v0 = tri_verts[:, 0]
+            area = 0.5 * np.linalg.norm(
+                np.cross(tri_verts[:, 1] - v0, tri_verts[:, 2] - v0), axis=-1
+            )
+            tri_attr = pack_attr_tab(
+                n_corner, uv_corner, np.asarray(self.device_scene.tri_mesh), area
+            )
         self.bvh = build_bvh(
             tri_verts,
             leaf_size=leaf_size,
             tri_normal=norms,
             tri_mesh=np.asarray(self.device_scene.tri_mesh),
-            tri_shade=tri_shade,
+            tri_attr=tri_attr,
         )
 
         self._frame = _jitted_frame_fn(

@@ -161,48 +161,40 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_surface_interaction_from_cluster(
-    ds: DeviceScene, rays: Ray, ch, miss_color: jnp.ndarray | None = None,
-    shade_tab: jnp.ndarray | None = None,
+    ds: DeviceScene, rays: Ray, hit: Hit, attr_tab: jnp.ndarray,
+    miss_color: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
-    """SurfaceInteraction from a ClusterHit (big-scene Pallas tier).
+    """SurfaceInteraction from a big-scene-tier Hit + the packed attribute
+    table (accel.build.BVH.attr_tab).
 
-    The kernel selects the winning triangle's representative normal, mesh
-    id and area during traversal (accel.pallas_cluster), so the per-mesh
-    material fetch is one small one-hot matmul.
-
-    Fidelity is a static property of the scene: when ``shade_tab`` (the
-    (T, 16) per-corner attribute table, accel.build.BVH.shade_tab) is
-    present, normals are barycentric-interpolated, uv is interpolated and
-    wrapped, and diffuse textures are sampled — matching hit_miss.cuh:30-44
-    exactly, at the cost of ONE packed (N, 16) row gather.  Without it
-    (flat-shaded untextured scenes, where the representative normal IS the
-    corner normal and uv is unused) the gather is skipped and uv reads 0.
+    One (N, ATTR_COLS) row gather by tri_id supplies per-corner normals,
+    uvs, mesh id and area; normals/uvs are barycentric-interpolated and
+    diffuse textures sampled, matching hit_miss.cuh:30-44 at full
+    fidelity.  The per-mesh material row comes from the exact-precision
+    one-hot fetch (the SBT record equivalent).
     """
     if miss_color is None:
         miss_color = ds.miss_color
-    valid = ch.tri_id >= 0
-    p = rays.origin + ch.t[:, None] * rays.direction
-    rows = _mesh_attr_rows(ds, jnp.where(valid, ch.mesh_id, 0))
+    valid = hit.tri_id >= 0
+    p = rays.origin + hit.t[:, None] * rays.direction
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
 
-    full = shade_tab is not None and shade_tab.shape[0] > 1
-    if full:
-        srows = jnp.take(shade_tab, jnp.maximum(ch.tri_id, 0), axis=0)  # (N, 16)
-        u = ch.bary_u[:, None]
-        v = ch.bary_v[:, None]
-        w = 1.0 - u - v
-        n_geom = cm.normalize(
-            w * srows[:, 0:3] + u * srows[:, 3:6] + v * srows[:, 6:9], eps=1e-30
-        )
-        uv = w * srows[:, 9:11] + u * srows[:, 11:13] + v * srows[:, 13:15]
-        uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
-    else:
-        n_geom = ch.normal
-        uv = jnp.zeros((p.shape[0], 2), jnp.float32)
+    arows = jnp.take(attr_tab, jnp.maximum(hit.tri_id, 0), axis=0)  # (N, 24)
+    u = hit.bary_u[:, None]
+    v = hit.bary_v[:, None]
+    w = 1.0 - u - v
+    n_geom = cm.normalize(
+        w * arows[:, 0:3] + u * arows[:, 3:6] + v * arows[:, 6:9], eps=1e-30
+    )
+    uv = w * arows[:, 9:11] + u * arows[:, 11:13] + v * arows[:, 13:15]
+    uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
+    mesh_id = arows[:, 15].astype(jnp.int32)
+    area = arows[:, 16]
 
+    rows = _mesh_attr_rows(ds, jnp.where(valid, mesh_id, 0))
     diffuse = rows[:, 0:3]
-    if full and ds.has_textures:
+    if ds.has_textures:
         tex_id = rows[:, 9].astype(jnp.int32)
         has_tex = tex_id >= 0
         tex_rgba = sample_bilinear(ds.textures, tex_id, uv[:, 0], uv[:, 1])
@@ -218,7 +210,7 @@ def build_surface_interaction_from_cluster(
         emit=jnp.where(vmask, rows[:, 3:6], zero3),
         is_light=valid & (rows[:, 7] > 0.5),
         material_id=jnp.where(valid, rows[:, 8].astype(jnp.int32), 0),
-        area=jnp.where(valid, ch.area, 0.0),
+        area=jnp.where(valid, area, 0.0),
     )
 
 
@@ -250,26 +242,18 @@ def _coherence_keys(rays: Ray, lo, hi) -> jnp.ndarray:
     return (octant << 21) | _morton7(q)
 
 
-def _permute_cluster_hit(ch, perm: jnp.ndarray):
-    """Reorder a ClusterHit by ``perm`` with ONE packed gather (nine
-    separate (N,) gathers would cost ~9x the HBM passes)."""
-    from ..accel.pallas_cluster import ClusterHit
-
+def _permute_hit(h: Hit, perm: jnp.ndarray) -> Hit:
+    """Reorder a Hit by ``perm`` with ONE packed gather (four separate
+    (N,) gathers would cost ~4x the HBM passes)."""
     pack = jnp.stack(
-        [ch.t, ch.tri_id.astype(jnp.float32), ch.bary_u, ch.bary_v,
-         ch.normal[:, 0], ch.normal[:, 1], ch.normal[:, 2],
-         ch.mesh_id.astype(jnp.float32), ch.area],
-        axis=1,
-    )  # (N, 9); ids < 2^24 are exact in f32
+        [h.t, h.tri_id.astype(jnp.float32), h.bary_u, h.bary_v], axis=1
+    )  # (N, 4); ids < 2^24 are exact in f32
     rows = jnp.take(pack, perm, axis=0)
-    return ClusterHit(
+    return Hit(
         t=rows[:, 0],
         tri_id=rows[:, 1].astype(jnp.int32),
         bary_u=rows[:, 2],
         bary_v=rows[:, 3],
-        normal=rows[:, 4:7],
-        mesh_id=rows[:, 7].astype(jnp.int32),
-        area=rows[:, 8],
     )
 
 
@@ -281,10 +265,6 @@ def trace_closest_si(
     backend/scene size (the single entry point integrators should use).
     Returns (SurfaceInteraction, trace stats dict — the cluster tier's
     cull-overflow/re-trace observability, zeros on the other tiers).
-
-    On TPU above the brute tier this routes through the clustered Pallas
-    kernel whose hit already carries shading attributes — avoiding the
-    per-lane attribute gather entirely (measured 57 ms / 1M rays on v5e).
 
     ``coherent=False`` (bounce rays) first sorts rays by direction octant
     + origin Morton cell and unsorts the hits after: the cluster tier
@@ -302,28 +282,24 @@ def trace_closest_si(
         from ..accel.pallas_cluster import trace_closest_clusters
 
         if coherent:
-            ch, stats = trace_closest_clusters(
+            hit, stats = trace_closest_clusters(
                 bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
             )
-            si = build_surface_interaction_from_cluster(
-                ds, rays, ch, miss_color, shade_tab=bvh.shade_tab
+        else:
+            lo = bvh.cluster_min.min(axis=0)
+            hi = bvh.cluster_max.max(axis=0)
+            perm = jnp.argsort(_coherence_keys(rays, lo, hi))
+            od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
+            od_s = jnp.take(od, perm, axis=0)
+            sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
+            hit_s, stats = trace_closest_clusters(
+                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays
             )
-            return si, stats
-
-        lo = bvh.cluster_min.min(axis=0)
-        hi = bvh.cluster_max.max(axis=0)
-        perm = jnp.argsort(_coherence_keys(rays, lo, hi))
-        od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
-        od_s = jnp.take(od, perm, axis=0)
-        sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-        ch_s, stats = trace_closest_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays
-        )
-        n = rays.origin.shape[0]
-        inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        ch = _permute_cluster_hit(ch_s, inv)
+            n = rays.origin.shape[0]
+            inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+            hit = _permute_hit(hit_s, inv)
         si = build_surface_interaction_from_cluster(
-            ds, rays, ch, miss_color, shade_tab=bvh.shade_tab
+            ds, rays, hit, bvh.attr_tab, miss_color
         )
         return si, stats
     hit = trace_closest(bvh, rays)

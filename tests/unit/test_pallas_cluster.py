@@ -65,7 +65,7 @@ def test_cluster_si_matches_reference_attrs(setup):
     ch, _ = pc.trace_closest_clusters(
         bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si = build_surface_interaction_from_cluster(ds, rays, ch)
+    si = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     m = np.asarray(si.hit)
     tid = np.asarray(ch.tri_id)[m]
 
@@ -77,11 +77,15 @@ def test_cluster_si_matches_reference_attrs(setup):
     assert (np.asarray(si.material_id)[m] == np.asarray(ds.mesh_material_id)[mesh]).all()
     assert (np.asarray(si.is_light)[m] == np.asarray(ds.mesh_is_light)[mesh]).all()
 
-    # normal = representative (normalized vertex-normal sum) of the hit tri
+    # normal = barycentric interpolation of the corner normals
     idx = np.asarray(ds.tri_index)[tid]
-    nsum = np.asarray(ds.normals)[idx].sum(axis=1)
-    nrep = nsum / np.maximum(np.linalg.norm(nsum, axis=-1, keepdims=True), 1e-20)
-    np.testing.assert_allclose(np.asarray(si.n_geom)[m], nrep, atol=1e-4)
+    nc = np.asarray(ds.normals)[idx]  # (H, 3, 3)
+    u = np.asarray(ch.bary_u)[m][:, None]
+    v = np.asarray(ch.bary_v)[m][:, None]
+    w = 1.0 - u - v
+    ni = w * nc[:, 0] + u * nc[:, 1] + v * nc[:, 2]
+    ni /= np.maximum(np.linalg.norm(ni, axis=-1, keepdims=True), 1e-20)
+    np.testing.assert_allclose(np.asarray(si.n_geom)[m], ni, atol=1e-4)
 
     # p consistent with ray parametrization
     p = np.asarray(rays.origin)[m] + np.asarray(ch.t)[m, None] * np.asarray(rays.direction)[m]
@@ -198,14 +202,12 @@ def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
     ds, bvh = r.device_scene, r.bvh
     assert ds.num_tris > 4096  # cluster tier
     assert ds.has_textures
-    assert bvh.shade_tab.shape[0] == ds.num_tris  # full fidelity enabled
+    assert bvh.attr_tab.shape[0] == ds.num_tris
 
     ch, stats = pc.trace_closest_clusters(
         bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si_c = build_surface_interaction_from_cluster(
-        ds, rays, ch, shade_tab=bvh.shade_tab
-    )
+    si_c = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     hit = Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
     si_g = build_surface_interaction(ds, rays, hit)
 
@@ -250,11 +252,11 @@ def test_coherence_sorted_trace_matches_unsorted(setup):
         )
         n = rays.origin.shape[0]
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        ch = shade._permute_cluster_hit(ch_s, inv)
+        ch = shade._permute_hit(ch_s, inv)
         want, _ = pc.trace_closest_clusters(
             bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
         )
         assert (np.asarray(ch.tri_id) == np.asarray(want.tri_id)).all()
         np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
-        np.testing.assert_array_equal(np.asarray(ch.normal), np.asarray(want.normal))
-        assert (np.asarray(ch.mesh_id) == np.asarray(want.mesh_id)).all()
+        np.testing.assert_array_equal(np.asarray(ch.bary_u), np.asarray(want.bary_u))
+        np.testing.assert_array_equal(np.asarray(ch.bary_v), np.asarray(want.bary_v))
