@@ -1,7 +1,11 @@
 """Profiling harness for the big-scene cluster tier on the terrain scene.
 
-Breaks the primary-ray trace into phases (cull slab, top_k, kernel) and
-reports visit statistics, so kernel/cull changes can be A/B'd quickly.
+Breaks the primary-ray trace into phases (t-bound sweep, cull, kernel)
+and reports visit statistics, so kernel/cull changes can be A/B'd fast.
+
+IMPORTANT: all timed sections run BEFORE any MB-scale device->host read;
+big D2H over the axon tunnel is flaky and can degrade every subsequent
+dispatch by ~30 ms (measured), poisoning the numbers.
 
 Usage:  python benchmarks/prof_terrain.py [grid]   (default 708 ~ 1M tris)
 """
@@ -20,10 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def timeit(f, *args, n=5, warmup=2):
     for _ in range(warmup):
         jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = jax.block_until_ready(f(*args))
-    return (time.perf_counter() - t0) / n, out
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
 
 
 def main():
@@ -64,36 +70,34 @@ def main():
     n_pad = tiles * pc.TILE
     maxv = pc._pad128(min(pc.DEFAULT_MAX_VISITS, C))
 
-    # phase timings
-    clamp = jax.jit(pc.clamp_t_exit)
-    t_cull, t_eff = timeit(clamp, bvh.cluster_min, bvh.cluster_max, rays, pc._INF)
-    print(f"clamp_t_exit: {t_cull*1e3:.2f} ms")
+    # ---- timed phases (no big D2H before this point) ----
+    tb = jax.jit(pc.ray_t_bounds)
+    t_tb, t_eff = timeit(tb, bvh.cluster_min, bvh.cluster_max, rays, pc._INF)
 
     cull = jax.jit(lambda cm_, cx_, ry, te: pc.cull_clusters(cm_, cx_, ry, te, n_pad, maxv))
     t_c, cull_out = timeit(cull, bvh.cluster_min, bvh.cluster_max, rays, t_eff)
-    lists, counts, scales, overflow, near_dropped = cull_out
-    cnts = np.asarray(counts)
-    print(f"cull (slab+topk): {t_c*1e3:.2f} ms   visits/tile mean={cnts.mean():.1f} "
-          f"p50={np.percentile(cnts,50):.0f} p95={np.percentile(cnts,95):.0f} "
-          f"max={cnts.max()}  overflow_tiles={(np.asarray(overflow)>0).sum()}")
 
-    # full trace
     trace = jax.jit(lambda ry: pc.trace_closest_clusters(
         bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, ry))
     t_tr, (hit, stats) = timeit(trace, rays)
+
+    ts_fn = jax.jit(lambda ry: trace_closest_si(r.device_scene, bvh, ry))
+    t_si, _ = timeit(ts_fn, rays)
+
+    # oracle: re-cull with the converged t (the two-pass/occlusion ceiling)
+    t_conv = jnp.where(hit.tri_id >= 0, hit.t * 1.02, t_eff)
+    _, cull2 = timeit(cull, bvh.cluster_min, bvh.cluster_max, rays, t_conv, n=2, warmup=1)
+
+    # ---- reporting (D2H allowed now) ----
+    print(f"ray_t_bounds: {t_tb*1e3:.2f} ms")
+    cnts = np.asarray(cull_out[1])
+    print(f"cull (slab+topk): {t_c*1e3:.2f} ms   visits/tile mean={cnts.mean():.1f} "
+          f"p50={np.percentile(cnts,50):.0f} p95={np.percentile(cnts,95):.0f} "
+          f"max={cnts.max()}  overflow_tiles={(np.asarray(cull_out[3])>0).sum()}")
     hits = np.asarray(hit.tri_id >= 0)
     print(f"trace total: {t_tr*1e3:.2f} ms  -> {n/t_tr/1e6:.2f} Mrays/s   "
           f"hit_frac={hits.mean():.3f}  stats={jax.tree.map(lambda x: np.asarray(x).item(), stats)}")
-
-    # trace + shade (the production path)
-    ts = jax.jit(lambda ry: trace_closest_si(r.device_scene, bvh, ry))
-    t_si, _ = timeit(ts, rays)
     print(f"trace+shade: {t_si*1e3:.2f} ms  -> {n/t_si/1e6:.2f} Mrays/s")
-
-    # ORACLE: visits if the cull knew the converged per-ray t (two-pass
-    # ceiling): re-cull with t_max = final hit t (+2%), report visit stats.
-    t_conv = jnp.where(hit.tri_id >= 0, hit.t * 1.02, t_eff)
-    _, cull2 = timeit(cull, bvh.cluster_min, bvh.cluster_max, rays, t_conv)
     cnts2 = np.asarray(cull2[1])
     print(f"oracle re-cull visits/tile: mean={cnts2.mean():.1f} "
           f"p50={np.percentile(cnts2,50):.0f} p95={np.percentile(cnts2,95):.0f} "

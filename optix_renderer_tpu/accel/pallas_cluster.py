@@ -115,6 +115,47 @@ def clamp_t_exit(cluster_min, cluster_max, rays: Ray, t_max):
     return jnp.where(hits_box, jnp.minimum(t, exit_t), 0.0)
 
 
+_SC_GROUP = 64  # clusters per supercluster in the per-ray t-bound sweep
+
+
+def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
+    """Per-ray conservative hit-distance upper bound from a dense slab
+    sweep over *supercluster* AABBs (Morton-contiguous groups of 64
+    cluster boxes; the cluster boxes themselves when there are few).
+
+    Any hit lies inside some cluster the ray overlaps, so
+    ``t_hit <= max over overlapped superclusters of far(sc)``; a ray that
+    overlaps NO supercluster provably misses everything (t = 0).  This is
+    the per-ray occlusion knowledge the tile-level cull cannot express:
+    without it, sky lanes carry the root-box exit distance and a single
+    such lane keeps its whole tile visiting clusters to the horizon (the
+    front-to-back early-out tests the tile's max t).  Replaces the plain
+    root-box clamp (``clamp_t_exit``) in the trace entry points.
+    """
+    C = cluster_min.shape[0]
+    G = 1 if C <= 512 else _SC_GROUP
+    S = -(-C // G)
+    pad = S * G - C
+    cmin = jnp.pad(cluster_min, ((0, pad), (0, 0)), constant_values=_INF)
+    cmax = jnp.pad(cluster_max, ((0, pad), (0, 0)), constant_values=-_INF)
+    sc_min = cmin.reshape(S, G, 3).min(axis=1)  # (S, 3)
+    sc_max = cmax.reshape(S, G, 3).max(axis=1)
+
+    o, d = rays.origin, rays.direction
+    safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    inv = 1.0 / safe  # (N, 3)
+    t0 = (sc_min[None, :, :] - o[:, None, :]) * inv[:, None, :]  # (N, S, 3)
+    t1 = (sc_max[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, S)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (near <= far) & (far > 0.0)
+    far_bound = jnp.max(jnp.where(hit, far, 0.0), axis=-1)  # (N,)
+    any_hit = jnp.any(hit, axis=-1)
+    t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    # margin: triangles exactly on a supercluster face
+    return jnp.where(any_hit, jnp.minimum(t, far_bound * 1.0001 + 1e-3), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # phase 1: dense tile-vs-cluster culling (pure XLA)
 # ---------------------------------------------------------------------------
@@ -520,7 +561,7 @@ def trace_closest_clusters(
     n_pad = tiles * TILE
     maxv = _pad128(min(max_visits, C))
 
-    t_eff = clamp_t_exit(cluster_min, cluster_max, rays, t_max)
+    t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     lists, counts, scales, overflow, near_dropped = cull_clusters(
         cluster_min, cluster_max, rays, t_eff, n_pad, maxv
     )
@@ -600,7 +641,7 @@ def trace_any_clusters(
     n_pad = tiles * TILE
     maxv = _pad128(min(max_visits, C))
 
-    t_eff = clamp_t_exit(cluster_min, cluster_max, rays, t_max)
+    t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     lists, counts, scales, overflow, _near_dropped = cull_clusters(
         cluster_min, cluster_max, rays, t_eff, n_pad, maxv
     )

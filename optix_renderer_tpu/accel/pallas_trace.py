@@ -140,17 +140,12 @@ def _any_kernel(n_chunks: int, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, 
 # host-side packing + call wrappers
 # ---------------------------------------------------------------------------
 
-def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
-                   area=None, pad_to: int = TRI_SUB) -> jnp.ndarray:
-    """(Tpad, 16) f32 table; rows padded to ``pad_to`` with degenerate
-    triangles (e1=e2=0 -> det=0, never hit).
-
-    Columns: 0-2 v0 | 3-5 e1 | 6-8 e2 | 9 prim_id | 10-12 representative
-    unit normal | 13 mesh_id | 14 area | 15 pad.  prim/mesh ids are exact
-    as f32 for ids < 2^24.  Columns 10-14 let the cluster kernel *select*
-    hit attributes during traversal instead of gathering per lane after
-    (XLA per-lane gathers measured 57 ms / 1M rays on v5e).
-    """
+def _pack_tri_table_np(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
+                       mesh_id=None, area=None, pad_to: int = TRI_SUB) -> np.ndarray:
+    """Host-side (numpy) body of :func:`pack_tri_table` — kept separate so
+    the grouped packer can reshape it WITHOUT a device round-trip (a
+    ``np.asarray`` on a just-uploaded 64MB device array costs ~100 s over
+    the flaky axon D2H path)."""
     T = tri_v0.shape[0]
     Tp = -(-T // pad_to) * pad_to
     tab = np.zeros((Tp, 16), np.float32)
@@ -165,7 +160,24 @@ def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
         tab[:T, 13] = np.asarray(mesh_id, np.float32)
     if area is not None:
         tab[:T, 14] = np.asarray(area, np.float32)
-    return jnp.asarray(tab)
+    return tab
+
+
+def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
+                   area=None, pad_to: int = TRI_SUB) -> jnp.ndarray:
+    """(Tpad, 16) f32 table; rows padded to ``pad_to`` with degenerate
+    triangles (e1=e2=0 -> det=0, never hit).
+
+    Columns: 0-2 v0 | 3-5 e1 | 6-8 e2 | 9 prim_id | 10-12 representative
+    unit normal | 13 mesh_id | 14 area | 15 pad.  prim/mesh ids are exact
+    as f32 for ids < 2^24.  Columns 10-14 let the cluster kernel *select*
+    hit attributes during traversal instead of gathering per lane after
+    (XLA per-lane gathers measured 57 ms / 1M rays on v5e).
+    """
+    return jnp.asarray(_pack_tri_table_np(
+        tri_v0, tri_e1, tri_e2, prim_id,
+        normal=normal, mesh_id=mesh_id, area=area, pad_to=pad_to,
+    ))
 
 
 GROUP_CLUSTER = 64  # triangles per grouped-layout cluster (8 groups x 8 sublanes)
@@ -187,10 +199,10 @@ def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
     sublane axis) so the cluster kernel's per-lane slab pretest gets the
     bounds with the same DMA as the triangles.
     """
-    flat = np.asarray(pack_tri_table(
+    flat = _pack_tri_table_np(
         tri_v0, tri_e1, tri_e2, prim_id,
         normal=normal, mesh_id=mesh_id, area=area, pad_to=GROUP_CLUSTER,
-    ))
+    )
     C = flat.shape[0] // GROUP_CLUSTER
     a = flat.reshape(C, 8, 8, 16).copy()  # (cluster, group, sublane, attr)
     if cluster_min is not None:

@@ -227,10 +227,14 @@ class Renderer:
         self.path_depth = path_depth
         self.ratio_samples = ratio_samples
 
-        self.device_scene = build_device_scene(scene, miss_color=miss_color)
-        tri_idx = np.asarray(self.device_scene.tri_index)
-        tri_verts = np.asarray(self.device_scene.vertices)[tri_idx]
-        n_corner = np.asarray(self.device_scene.normals)[tri_idx]  # (T, 3, 3)
+        # host mirror: the BVH builder consumes numpy; re-downloading the
+        # just-uploaded geometry over the TPU tunnel is pathologically slow
+        self.device_scene, host = build_device_scene(
+            scene, miss_color=miss_color, return_host=True
+        )
+        tri_idx = host["tri_index"]
+        tri_verts = host["vertices"][tri_idx]
+        n_corner = host["normals"][tri_idx]  # (T, 3, 3)
         norms = n_corner.sum(axis=1)
         norms /= np.maximum(np.linalg.norm(norms, axis=-1, keepdims=True), 1e-20)
         # Packed per-triangle attribute table for the cluster tier's
@@ -241,19 +245,19 @@ class Renderer:
         if T > 4096:
             from ..accel.build import pack_attr_tab
 
-            uv_corner = np.asarray(self.device_scene.uvs)[tri_idx]  # (T, 3, 2)
+            uv_corner = host["uvs"][tri_idx]  # (T, 3, 2)
             v0 = tri_verts[:, 0]
             area = 0.5 * np.linalg.norm(
                 np.cross(tri_verts[:, 1] - v0, tri_verts[:, 2] - v0), axis=-1
             )
             tri_attr = pack_attr_tab(
-                n_corner, uv_corner, np.asarray(self.device_scene.tri_mesh), area
+                n_corner, uv_corner, host["tri_mesh"], area
             )
         self.bvh = build_bvh(
             tri_verts,
             leaf_size=leaf_size,
             tri_normal=norms,
-            tri_mesh=np.asarray(self.device_scene.tri_mesh),
+            tri_mesh=host["tri_mesh"],
             tri_attr=tri_attr,
         )
 

@@ -140,12 +140,20 @@ def build_texture_atlas(textures) -> TextureAtlas:
     )
 
 
-def build_device_scene(scene: Scene, miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
+def build_device_scene(
+    scene: Scene, miss_color=(0.0, 0.0, 0.0), return_host: bool = False
+):
     """Flatten a host Scene into device arrays.
 
     Light list construction matches viewer.hpp:236-265: per light mesh,
     per triangle — v1/v2/v3 from the index, cg = mean, normal =
     normalize(n1+n2+n3), area = 0.5|cross(v1-v2, v3-v2)|, emit = mesh emit.
+
+    ``return_host=True`` additionally returns the flat host (numpy)
+    geometry arrays {vertices, normals, uvs, tri_index, tri_mesh} so
+    host-side consumers (the BVH builder) never re-download what was just
+    uploaded: device->host reads over the TPU tunnel are pathologically
+    slow/flaky for MB-scale arrays in this environment.
     """
     meshes = scene.model.meshes
     verts, norms, uvs, tris, tri_mesh = [], [], [], [], []
@@ -217,13 +225,13 @@ def build_device_scene(scene: Scene, miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
     else:
         tri_pack = np.zeros((1, PACK_K), np.float32)
 
-    return DeviceScene(
+    ds = DeviceScene(
         tri_pack=f32(tri_pack),
-        vertices=f32(np.concatenate(verts, axis=0)),
-        normals=f32(np.concatenate(norms, axis=0)),
-        uvs=f32(np.concatenate(uvs, axis=0)),
-        tri_index=i32(np.concatenate(tris, axis=0)),
-        tri_mesh=i32(np.concatenate(tri_mesh, axis=0)),
+        vertices=f32(all_v),
+        normals=f32(all_n),
+        uvs=f32(all_uv),
+        tri_index=i32(all_tri),
+        tri_mesh=i32(all_mesh),
         mesh_diffuse=f32(np.stack([m.diffuse for m in meshes])),
         mesh_alpha=f32(np.asarray([m.alpha for m in meshes])),
         mesh_emit=f32(np.stack([m.emit for m in meshes])),
@@ -244,3 +252,13 @@ def build_device_scene(scene: Scene, miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
         textures=build_texture_atlas(scene.model.textures),
         miss_color=f32(np.asarray(miss_color)),
     )
+    if return_host:
+        host = dict(
+            vertices=all_v.astype(np.float32),
+            normals=all_n.astype(np.float32),
+            uvs=all_uv.astype(np.float32),
+            tri_index=all_tri.astype(np.int64),
+            tri_mesh=all_mesh.astype(np.int32),
+        )
+        return ds, host
+    return ds
