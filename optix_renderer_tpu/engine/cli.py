@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=0, metavar="N",
                    help="shard the render over N devices (image rows; needs height %% N == 0)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--serve", type=int, nargs="?", const=8000, default=None,
+                   metavar="PORT",
+                   help="start the live HTTP viewer (orbit camera, runtime "
+                        "mode switch; viewer.hpp:659-845 equivalent) instead "
+                        "of a batch render")
     return p
 
 
@@ -148,6 +153,17 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     name = mode.name.lower()
+
+    if args.serve is not None:
+        from .serve import ViewerServer
+
+        server = ViewerServer(
+            r, scene_path=args.scene, port=args.serve, out_dir=args.out,
+            max_spp=args.spp or 0,
+        )
+        log.info("live viewer: http://127.0.0.1:%d/  (ctrl-C to stop)", server.port)
+        server.serve_forever()
+        return 0
 
     def render_loop():
         if args.devices > 1:

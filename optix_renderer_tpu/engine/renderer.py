@@ -279,6 +279,24 @@ class Renderer:
         self._pending_stats: list = []
         self.set_camera(scene.cameras[0])
 
+    def set_mode(self, mode: RendererType) -> None:
+        """Switch renderer mode at runtime (the viewer's ImGui combo,
+        viewer.hpp:668-676) and restart accumulation; the per-mode jitted
+        frame functions are cached by the shared pjit object, so switching
+        back to a seen mode costs no recompile."""
+        mode = RendererType(mode)
+        if mode == self.mode:
+            return
+        self.mode = mode
+        self._frame = _jitted_frame_fn(
+            mode, self.width, self.height, self.path_depth, self.ratio_samples
+        )
+        self.state = RenderState(
+            accum=jnp.zeros((self.height, self.width, 3), jnp.float32),
+            accum_id=jnp.asarray(0, jnp.int32),
+            camera=self.state.camera,
+        )
+
     # -- camera ----------------------------------------------------------
     def set_camera(self, cam: SceneCamera) -> None:
         """Reset accumulation and rebuild the basis (viewer.hpp:621-657)."""

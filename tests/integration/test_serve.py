@@ -1,0 +1,134 @@
+"""Live HTTP viewer loop (engine.serve): drives the real server over HTTP
+on a tiny CPU render — the reference's interactive loop
+(include/viewer.hpp:659-845) minus the window."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from optix_renderer_tpu.engine.modes import RendererType
+from optix_renderer_tpu.engine.renderer import Renderer
+from optix_renderer_tpu.engine.serve import OrbitCamera, ViewerServer
+from optix_renderer_tpu.scene import procedural
+from optix_renderer_tpu.scene.config import parse_scene
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cornell_serve")
+    scene_path = procedural.write_cornell_scene(str(d))
+    scene = parse_scene(scene_path)
+    r = Renderer(scene, width=32, height=32, mode=RendererType.NORMALS)
+    s = ViewerServer(r, scene_path=scene_path, port=0,
+                     out_dir=str(tmp_path_factory.mktemp("shots")))
+    s.start()
+    yield s
+    s.shutdown()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=30) as f:
+        return f.read()
+
+
+def _post(server, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/control",
+        data=json.dumps(body).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as f:
+        return json.loads(f.read())
+
+
+def _wait_spp(server, n, timeout=60.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if json.loads(_get(server, "/status"))["accum_id"] >= n:
+            return
+        time.sleep(0.05)
+    raise TimeoutError(f"accum never reached {n}")
+
+
+def test_page_and_frame(server):
+    page = _get(server, "/")
+    assert b"optix_renderer_tpu" in page
+    _wait_spp(server, 1)
+    png = _get(server, "/frame.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    status = json.loads(_get(server, "/status"))
+    assert status["mode_name"] == "Normals"
+    assert status["width"] == 32
+
+
+def test_mode_switch_resets_accum(server):
+    _wait_spp(server, 1)
+    assert _post(server, {"op": "mode", "mode": int(RendererType.MASK)})["ok"]
+    _wait_spp(server, 1)  # re-renders in the new mode
+    status = json.loads(_get(server, "/status"))
+    assert status["mode"] == int(RendererType.MASK)
+    # MASK of a closed box is all-white -> PNG of constant 1.0
+    png = _get(server, "/frame.png")
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(BytesIO(png)))
+    assert (img[..., :3] == 255).all()
+    _post(server, {"op": "mode", "mode": int(RendererType.NORMALS)})
+
+
+def test_orbit_changes_camera_and_restarts(server):
+    _wait_spp(server, 1)
+    before = np.array(server.cam.from_)
+    assert _post(server, {"op": "orbit", "daz": 0.5, "del": 0.0})["ok"]
+    after = np.array(server.cam.from_)
+    assert not np.allclose(before, after)
+    # distance to the look-at point is preserved by orbiting
+    r0 = np.linalg.norm(before - server.cam.at)
+    r1 = np.linalg.norm(after - server.cam.at)
+    assert abs(r0 - r1) < 1e-6 * max(r0, 1.0)
+    _wait_spp(server, 1)
+    assert _post(server, {"op": "reset"})["ok"]
+    assert np.allclose(server.cam.from_, before)
+
+
+def test_record_camera_appends_to_scene_json(server):
+    with open(server.scene_path) as f:
+        n_before = len(json.load(f).get("cameras", []))
+    assert _post(server, {"op": "record"})["ok"]
+    with open(server.scene_path) as f:
+        cams = json.load(f)["cameras"]
+    assert len(cams) == n_before + 1
+    assert set(cams[-1]) == {"from", "to", "up", "cos_fovy"}
+
+
+def test_screenshot(server):
+    _wait_spp(server, 1)
+    out = _post(server, {"op": "screenshot"})
+    assert out["ok"]
+    with open(out["path"], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_orbit_camera_math():
+    cam = OrbitCamera(_mk_cam())
+    v0 = cam.from_ - cam.at
+    cam.orbit(np.pi / 2, 0.0)
+    v1 = cam.from_ - cam.at
+    assert abs(np.linalg.norm(v0) - np.linalg.norm(v1)) < 1e-9
+    assert abs(float(np.dot(v0, v1))) < 1e-6 * float(np.dot(v0, v0))  # 90 deg
+    cam.zoom(0.5)
+    assert abs(np.linalg.norm(cam.from_ - cam.at) - 0.5 * np.linalg.norm(v1)) < 1e-9
+
+
+def _mk_cam():
+    from optix_renderer_tpu.scene.config import SceneCamera
+
+    return SceneCamera(
+        from_=np.array([0.0, 0.0, 5.0], np.float32),
+        at=np.zeros(3, np.float32),
+        up=np.array([0.0, 1.0, 0.0], np.float32),
+        cos_fovy=0.66,
+    )
