@@ -260,3 +260,59 @@ def test_coherence_sorted_trace_matches_unsorted(setup):
         np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
         np.testing.assert_array_equal(np.asarray(ch.bary_u), np.asarray(want.bary_u))
         np.testing.assert_array_equal(np.asarray(ch.bary_v), np.asarray(want.bary_v))
+
+
+def test_ray_t_bounds_conservative(setup):
+    """ray_t_bounds is a valid upper bound: never below the true closest
+    hit t, and exactly 0 for rays that provably miss everything."""
+    r, rays = setup
+    bvh = r.bvh
+    tb = np.asarray(pc.ray_t_bounds(bvh.cluster_min, bvh.cluster_max, rays, pc._INF))
+
+    tris = jnp.stack(
+        [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
+    )
+    hit = intersect_brute(tris, rays)
+    t = np.asarray(hit.t)
+    hit_mask = np.asarray(hit.tri_id) >= 0
+    # conservative: every real hit lies within the bound
+    assert (tb[hit_mask] >= t[hit_mask]).all()
+    # sky rays (no supercluster overlap) must have a zero bound when the
+    # direction points away from the whole scene
+    up_rays = Ray(
+        origin=jnp.asarray(np.full((8, 3), 1e4, np.float32)),
+        direction=jnp.asarray(np.tile(np.array([0, 1, 0], np.float32), (8, 1))),
+    )
+    tb_up = np.asarray(pc.ray_t_bounds(bvh.cluster_min, bvh.cluster_max, up_rays, pc._INF))
+    assert (tb_up == 0.0).all()
+    # and the incoming t_max is respected
+    tb_c = np.asarray(pc.ray_t_bounds(bvh.cluster_min, bvh.cluster_max, rays, 0.125))
+    assert (tb_c <= 0.125 + 1e-6).all()
+
+
+def test_ray_t_bounds_supercluster_grouping():
+    """The grouped (>512 clusters) path agrees with the exact per-cluster
+    path on containment: grouped bounds can only be looser (larger)."""
+    rng = np.random.default_rng(7)
+    C = 700  # forces the 64-cluster supercluster grouping
+    cmin = rng.uniform(0, 100, (C, 3)).astype(np.float32)
+    cmax = cmin + rng.uniform(0.1, 5, (C, 3)).astype(np.float32)
+    n = 256
+    o = rng.uniform(-20, 120, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o), direction=jnp.asarray(d))
+
+    grouped = np.asarray(pc.ray_t_bounds(jnp.asarray(cmin), jnp.asarray(cmax), rays, pc._INF))
+    # exact (per-cluster) reference, same formula with G=1
+    import optix_renderer_tpu.accel.pallas_cluster as mod
+    old = mod._SC_GROUP
+    try:
+        mod._SC_GROUP = 1
+        exact = np.asarray(pc.ray_t_bounds(jnp.asarray(cmin), jnp.asarray(cmax), rays, pc._INF))
+    finally:
+        mod._SC_GROUP = old
+    assert (grouped >= exact - 1e-3).all()
+    # rays with a zero exact bound may still get a loose grouped bound,
+    # but never the other way around
+    assert ((exact == 0) | (grouped > 0)).all()
