@@ -78,7 +78,7 @@ def main():
     t_c, cull_out = timeit(cull, bvh.cluster_min, bvh.cluster_max, rays, t_eff)
 
     trace = jax.jit(lambda ry: pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, ry))
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, ry))
     t_tr, (hit, stats) = timeit(trace, rays)
 
     ts_fn = jax.jit(lambda ry: trace_closest_si(r.device_scene, bvh, ry))

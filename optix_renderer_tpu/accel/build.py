@@ -63,6 +63,12 @@ class BVH:
     # kernels (accel.pallas_trace.pack_tri_table layout)
     cluster_min: jnp.ndarray  # (C, 3) f32 cluster AABBs (big-scene tier)
     cluster_max: jnp.ndarray  # (C, 3) f32
+    geom_tab: jnp.ndarray  # (Tpad, 16) f32 flat [v0 e1 e2 prim ...] rows in
+    # SORTED (Morton) order: the cluster tier's post-trace decode gathers
+    # the winning triangle's geometry by sorted id and recomputes exact
+    # (t, u, v) — the kernel itself only tracks a packed (quantized t |
+    # local id) min-key.  Aliases tri_tab on the small-scene tier (same
+    # layout).
     attr_tab: jnp.ndarray  # (T, ATTR_COLS) f32 per-triangle shading
     # attributes in ORIGINAL tri order: [n1(3) n2(3) n3(3) uv1(2) uv2(2)
     # uv3(2) mesh_id(1) area(1) pad] — the cluster tier's post-trace
@@ -257,8 +263,10 @@ def build_bvh(
         tri_tab = pack_tri_table_grouped(
             v0, e1, e2, order, cluster_min=cmin, cluster_max=cmax, **tab_kwargs
         )
+        geom_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB)
     else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
+        geom_tab = tri_tab  # same flat layout: alias, no extra memory
     if T <= 4096:
         attr_tab = np.zeros((1, ATTR_COLS), np.float32)
     elif tri_attr is not None:
@@ -280,6 +288,7 @@ def build_bvh(
         )
     return BVH(
         tri_tab=tri_tab,
+        geom_tab=geom_tab,
         attr_tab=jnp.asarray(attr_tab),
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),

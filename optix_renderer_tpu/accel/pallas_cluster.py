@@ -302,12 +302,36 @@ def _lane_slab(blk, ox, oy, oz, ix, iy, iz):
     return near, far
 
 
+_LOCAL_MASK = GROUP_CLUSTER - 1  # low key bits: triangle id within cluster
+_MISS_KEY = np.int32(0x7FFFFFFF)
+
+
+def _key_t_up(key):
+    """Conservative per-lane t decode of a packed key: OR-ing the local
+    bits back gives an f32 >= the true hit t (positive-float bit order)."""
+    return jax.lax.bitcast_convert_type(key | _LOCAL_MASK, jnp.float32)
+
+
 def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                             tmax_ref,
-                            t_ref, pid_ref, u_ref, v_ref,
+                            key_ref, cid_ref,
                             lst_scr, buf, sems, lsem):
+    """Branchless packed-key closest hit.
+
+    Per lane the running state is ONE int32 ``key = (f32 bits of t with
+    the low 6 bits cleared) | local-triangle-id`` plus the winning cluster
+    id: positive-float bits are monotone, so a single ``min`` replaces the
+    argmin + per-attribute selects of the old kernel AND the
+    ``pl.when(any(improved))`` vector->scalar sync per chunk.  Exact
+    (t, u, v, prim) are recomputed post-trace from the packed geometry
+    table (one row gather by the decoded sorted id) — cheaper than
+    carrying four f32 planes through the hot loop, and bit-identical
+    because the Moller-Trumbore arithmetic is repeated operation-for-
+    operation on the same inputs.  The ~2^-17-relative t quantization
+    only affects ordering of nearly-coincident hits.
+    """
     ti = pl.program_id(0)
     cmask = (1 << cid_bits) - 1
     near_scale = scale_ref[ti]
@@ -317,10 +341,11 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
 
-    t_ref[:] = tmax_ref[:]
-    pid_ref[:] = jnp.full(t_ref.shape, -1.0, jnp.float32)
-    u_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
-    v_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
+    # init: key encodes the per-lane t bound (worst local id so any real
+    # hit at the same quantum still improves); cid = -1 marks a miss
+    tb = jax.lax.bitcast_convert_type(tmax_ref[:], jnp.int32)
+    key_ref[:] = (tb & ~_LOCAL_MASK) | _LOCAL_MASK
+    cid_ref[:] = jnp.full(tb.shape, -1, jnp.int32)
 
     lcopy.wait()
 
@@ -364,41 +389,33 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
             # the 1M terrain — and a sublane-triangle (8,1)x(1,128) MT
             # layout with per-stripe masking, 8.6 -> 4.5.)
             near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
-            live = (near_l <= far_l) & (far_l > 0.0) & (near_l < t_ref[:])
+            live = (near_l <= far_l) & (far_l > 0.0) & (near_l < _key_t_up(key_ref[:]))
 
             @pl.when(jnp.any(live))
             def _test():
+                key = key_ref[:]
+                key0 = key
                 for ci in range(GROUP_CLUSTER // TRI_SUB):  # static unroll
-                    t = t_ref[:]
-                    hit, tc, uc, vc = _mt_chunk(
-                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, t
+                    # chunks are independent (no running-t dependency):
+                    # ordering is entirely in the packed keys
+                    hit, tc, _, _ = _mt_chunk(
+                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, None
                     )
-                    tc_m = jnp.where(hit, tc, _INF)
-                    t_best = jnp.min(tc_m, axis=0)
-                    upd = t_best < t
+                    bits = jax.lax.bitcast_convert_type(tc, jnp.int32)
+                    local = jax.lax.broadcasted_iota(
+                        jnp.int32, bits.shape, 0) + ci * TRI_SUB
+                    kc = jnp.where(hit, (bits & ~_LOCAL_MASK) | local, _MISS_KEY)
+                    key = jnp.minimum(key, jnp.min(kc, axis=0))
+                upd = key < key0
+                cidv = lst_at(k) & cmask
+                cid_ref[:] = jnp.where(upd, cidv, cid_ref[:])
+                key_ref[:] = key
 
-                    # (t, prim, bary) selection only on improvement;
-                    # shading attributes are gathered post-trace by id
-                    @pl.when(jnp.any(upd))
-                    def _improve(t=t, tc_m=tc_m, t_best=t_best, upd=upd,
-                                 uc=uc, vc=vc, ci=ci):
-                        best = jnp.argmin(tc_m, axis=0)[None]
-                        sub = jax.lax.broadcasted_iota(jnp.int32, tc_m.shape, 0)
-                        sel = sub == best
-                        col = _chunk_cols(blk, ci)
+            return (k + 1, jnp.max(_key_t_up(key_ref[:])))
 
-                        def pick(a):
-                            return jnp.sum(jnp.where(sel, a, 0.0), axis=0)
-
-                        prim = jnp.broadcast_to(col(9), tc_m.shape)
-                        t_ref[:] = jnp.where(upd, t_best, t)
-                        pid_ref[:] = jnp.where(upd, pick(prim), pid_ref[:])
-                        u_ref[:] = jnp.where(upd, pick(uc), u_ref[:])
-                        v_ref[:] = jnp.where(upd, pick(vc), v_ref[:])
-
-            return (k + 1, jnp.max(t_ref[:]))
-
-        k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.max(t_ref[:])))
+        k_end, _ = jax.lax.while_loop(
+            cond, visit, (jnp.int32(0), jnp.max(_key_t_up(key_ref[:])))
+        )
 
         # drain: early termination leaves the k_end prefetch in flight, and
         # a DMA outstanding at kernel exit is undefined behaviour
@@ -531,9 +548,46 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
+    """Packed (key, cid) kernel outputs -> exact Hit.
+
+    One (N, 16) row gather of the winning triangle's geometry (sorted
+    order), then the same Moller-Trumbore arithmetic as the kernel
+    recomputes exact (t, u, v) and reads the ORIGINAL prim id from the
+    row — four f32 planes less VMEM/HBM traffic in the hot loop.
+    """
+    flat = lambda a: a.reshape(-1)[:n]
+    key = flat(key)
+    cid = flat(cid)
+    valid = cid >= 0
+    tri_sorted = jnp.where(valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
+    rows = jnp.take(geom_tab, tri_sorted, axis=0)  # (N, 16)
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    prim = rows[:, 9]
+    o = rays.origin
+    d = rays.direction
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tv = o - v0
+    u = jnp.sum(tv * p, axis=-1) * inv
+    q = jnp.cross(tv, e1)
+    v = jnp.sum(d * q, axis=-1) * inv
+    t = jnp.sum(e2 * q, axis=-1) * inv
+    return Hit(
+        t=jnp.where(valid, t, t_eff),
+        tri_id=jnp.where(valid, prim.astype(jnp.int32), -1),
+        bary_u=jnp.where(valid, u, 0.0),
+        bary_v=jnp.where(valid, v, 0.0),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_visits", "interpret"))
 def trace_closest_clusters(
     tri_tab: jnp.ndarray,
+    geom_tab: jnp.ndarray,
     cluster_min: jnp.ndarray,
     cluster_max: jnp.ndarray,
     rays: Ray,
@@ -543,11 +597,11 @@ def trace_closest_clusters(
     interpret: bool = False,
 ):
     """Returns (Hit in ORIGINAL triangle ids, stats dict — see
-    ``zero_trace_stats`` keys).  Shading attributes are NOT selected in
-    the kernel: callers gather them post-trace by tri_id from the packed
-    per-triangle attribute table (accel.build.BVH.attr_tab) — one (N, K)
-    row gather, cheaper than in-kernel per-attribute selection and needed
-    for interpolated-normal/uv/texture fidelity anyway.
+    ``zero_trace_stats`` keys).  The kernel tracks only a packed
+    (quantized t | local tri) key + cluster id per lane; exact (t, u, v)
+    and the original prim id are recomputed post-trace from ``geom_tab``
+    (accel.build.BVH.geom_tab, sorted order).  Shading attributes are
+    gathered separately by tri_id from BVH.attr_tab.
 
     Exact regardless of ``max_visits``: overflowing tiles whose result is
     not provably complete are re-traced against the full cluster list.
@@ -569,12 +623,12 @@ def trace_closest_clusters(
     planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32)] * 2
 
     def run(lsts, cnts, scls, mv, shared):
         return pl.pallas_call(
             functools.partial(_closest_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 4, shared),
+            grid_spec=_grid_spec(tiles, mv, 2, shared),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes)
@@ -582,7 +636,7 @@ def trace_closest_clusters(
     outs = tuple(run(lists, counts, scales, maxv, False))
 
     if C > maxv:  # overflow possible: checked fallback
-        t_tile = outs[0].reshape(tiles, -1).max(axis=1)
+        t_tile = _key_t_up(outs[0]).reshape(tiles, -1).max(axis=1)
         unresolved = (overflow > 0) & (t_tile > near_dropped)
         any_un = jnp.any(unresolved)
 
@@ -604,14 +658,7 @@ def trace_closest_clusters(
     else:
         stats = zero_trace_stats()
 
-    t, pid, u, v = outs
-    flat = lambda a: a.reshape(-1)[:n]
-    hit = Hit(
-        t=flat(t),
-        tri_id=flat(pid).astype(jnp.int32),
-        bary_u=flat(u),
-        bary_v=flat(v),
-    )
+    hit = _decode_hits(outs[0], outs[1], geom_tab, rays, t_eff, n)
     return hit, stats
 
 

@@ -79,8 +79,9 @@ def _mt_chunk(tri, ox, oy, oz, dx, dy, dz, t_cur):
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > 0.0)
-        & (t < t_cur[None])
     )
+    if t_cur is not None:  # None: caller orders hits itself (packed keys)
+        hit = hit & (t < t_cur[None])
     return hit, t, u, v
 
 

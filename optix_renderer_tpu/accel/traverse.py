@@ -104,7 +104,8 @@ def trace_closest(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max: float = _INF) 
         from .pallas_cluster import trace_closest_clusters
 
         ch, _stats = trace_closest_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
+            bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+            rays, t_max=t_max
         )
         return Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
     if T <= BRUTE_MAX_TRIS:

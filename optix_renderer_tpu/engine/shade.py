@@ -283,7 +283,7 @@ def trace_closest_si(
 
         if coherent:
             hit, stats = trace_closest_clusters(
-                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
+                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays
             )
         else:
             lo = bvh.cluster_min.min(axis=0)
@@ -293,7 +293,8 @@ def trace_closest_si(
             od_s = jnp.take(od, perm, axis=0)
             sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
             hit_s, stats = trace_closest_clusters(
-                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays
+                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+                sorted_rays
             )
             n = rays.origin.shape[0]
             inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))

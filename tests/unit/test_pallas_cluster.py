@@ -40,7 +40,7 @@ def test_cluster_closest_matches_brute(setup):
     bvh = r.bvh
     assert bvh.tri_v0.shape[0] > 4096  # actually exercises the cluster tier
     ch, stats = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
     assert int(stats["overflow"]) == 0
     tris = jnp.stack(
@@ -63,7 +63,7 @@ def test_cluster_si_matches_reference_attrs(setup):
     r, rays = setup
     ds, bvh = r.device_scene, r.bvh
     ch, _ = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
     si = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     m = np.asarray(si.hit)
@@ -141,7 +141,7 @@ def test_overflow_is_checked_not_silent(big_setup):
     rays = Ray(origin=jnp.asarray(o, jnp.float32), direction=jnp.asarray(d, jnp.float32))
 
     ch, stats = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
         max_visits=128, interpret=True,
     )
     assert int(stats["overflow"]) > 0  # the stress actually stressed
@@ -205,7 +205,7 @@ def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
     assert bvh.attr_tab.shape[0] == ds.num_tris
 
     ch, stats = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
     si_c = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     hit = Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
@@ -248,13 +248,15 @@ def test_coherence_sorted_trace_matches_unsorted(setup):
         od_s = jnp.take(od, perm, axis=0)
         sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
         ch_s, _ = pc.trace_closest_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, sorted_rays, interpret=True
+            bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+            sorted_rays, interpret=True
         )
         n = rays.origin.shape[0]
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
         ch = shade._permute_hit(ch_s, inv)
         want, _ = pc.trace_closest_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+            bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+            rays, interpret=True
         )
         assert (np.asarray(ch.tri_id) == np.asarray(want.tri_id)).all()
         np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
