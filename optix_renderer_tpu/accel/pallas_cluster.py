@@ -50,6 +50,7 @@ front-to-back early-out with t=inf.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,19 +62,19 @@ from ..core.types import Hit, Ray
 from .pallas_trace import GROUP_CLUSTER, LANES, TRI_SUB, _mt_chunk
 
 _INF = np.float32(3.0e38)
-TILE_ROWS = 8  # rows of 128 rays per tile: 1024 rays (a 32x32 pixel block)
+# Default rays-per-tile: 8 rows of 128 = 1024 rays (a 32x32 pixel block).
+# ``tile_rows`` is a static parameter of the trace entry points: smaller
+# tiles have tighter frusta (fewer clusters each) but more per-tile
+# overhead — benchmarks/sim_cull.py quantifies the trade; the env var
+# OPTIX_TPU_TILE_ROWS overrides the default for hardware A/Bs.
+TILE_ROWS = int(os.environ.get("OPTIX_TPU_TILE_ROWS", "8"))
 TILE = TILE_ROWS * LANES
-DEFAULT_MAX_VISITS = 1024  # per-tile visited-cluster cap; overflowing
-# tiles are detected and re-traced with the full list (see module doc).
-# Lists live in HBM and are DMA'd per tile into SMEM scratch, so the cap
-# is bounded by scratch size, not the 1MB SMEM prefetch budget.
+DEFAULT_MAX_VISITS = int(os.environ.get("OPTIX_TPU_MAX_VISITS", "1024"))
+# per-tile visited-cluster cap; overflowing tiles are detected and
+# re-traced with the full list (see module doc).  Lists live in HBM and
+# are DMA'd per tile into SMEM scratch, so the cap is bounded by scratch
+# size, not the 1MB SMEM prefetch budget.
 _NEAR_BITS_TOTAL = 30  # packed list entry: [near quantized | cluster id]
-
-# The per-lane AABB pretest broadcasts (TRI_SUB,)-shaped pad-column
-# extracts against (TILE_ROWS, LANES) ray planes; the values are
-# replicated across sublanes so this is only correct because the dims
-# coincide.
-assert TILE_ROWS == TRI_SUB
 
 
 def _cid_bits(n_clusters: int) -> int:
@@ -160,7 +161,7 @@ def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
 # phase 1: dense tile-vs-cluster culling (pure XLA)
 # ---------------------------------------------------------------------------
 
-def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int):
+def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
     """Per-tile front-to-back cluster lists via one packed top_k.
 
     Returns (lists (tiles, max_visits) i32 packed [nearq | cid],
@@ -178,16 +179,16 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge")
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     tmax = jnp.pad(tmax, (0, pad), mode="edge")
-    tiles = n_pad // TILE
+    tiles = n_pad // tile
     C = cluster_min.shape[0]
 
-    ot = o.reshape(tiles, TILE, 3)
-    dt = d.reshape(tiles, TILE, 3)
+    ot = o.reshape(tiles, tile, 3)
+    dt = d.reshape(tiles, tile, 3)
     o_lo = ot.min(axis=1)  # (tiles, 3)
     o_hi = ot.max(axis=1)
     d_lo = dt.min(axis=1)
     d_hi = dt.max(axis=1)
-    t_hi = tmax.reshape(tiles, TILE).max(axis=1)  # (tiles,)
+    t_hi = tmax.reshape(tiles, tile).max(axis=1)  # (tiles,)
 
     near = jnp.zeros((tiles, C), jnp.float32)
     far = jnp.broadcast_to(t_hi[:, None], near.shape)
@@ -281,11 +282,15 @@ def _lane_slab(blk, ox, oy, oz, ix, iy, iz):
 
     The cluster bounds ride the grouped table's pad columns (attr 15 of
     groups 0-5 = bmin.xyz, bmax.xyz, replicated across sublanes), so a
-    ``blk[:, g*16+15][:, None]`` extract broadcasts them as constants
-    against the (TILE_ROWS, LANES) ray planes.  Returns (near, far).
+    sublane-sliced ``blk[:rows, g*16+15][:, None]`` extract broadcasts
+    them as constants against the (rows, LANES) ray planes (valid only
+    BECAUSE the value is replicated across the sublane axis).  Returns
+    (near, far).
     """
+    rows = ox.shape[0]
+
     def bcol(g):
-        return blk[:, g * 16 + 15][:, None]
+        return blk[:rows, g * 16 + 15][:, None]
 
     t0 = (bcol(0) - ox) * ix
     t1 = (bcol(3) - ox) * ix
@@ -514,9 +519,9 @@ def _planes(rays: Ray, tmax, n_pad: int):
     )
 
 
-def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool):
+def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool, tile_rows: int):
     tile_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
+        (tile_rows, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
     )
     lidx = (lambda t, cnt, sc: (0, 0)) if shared_lists else (lambda t, cnt, sc: (t, 0))
     lst_spec = pl.BlockSpec((8, maxv // 8), lidx, memory_space=pltpu.VMEM)
@@ -584,7 +589,7 @@ def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "interpret"))
 def trace_closest_clusters(
     tri_tab: jnp.ndarray,
     geom_tab: jnp.ndarray,
@@ -594,6 +599,7 @@ def trace_closest_clusters(
     t_max=_INF,
     *,
     max_visits: int = DEFAULT_MAX_VISITS,
+    tile_rows: int = TILE_ROWS,
     interpret: bool = False,
 ):
     """Returns (Hit in ORIGINAL triangle ids, stats dict — see
@@ -611,24 +617,25 @@ def trace_closest_clusters(
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
         "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
     )
-    tiles = -(-n // TILE)
-    n_pad = tiles * TILE
+    tile = tile_rows * LANES
+    tiles = -(-n // tile)
+    n_pad = tiles * tile
     maxv = _pad128(min(max_visits, C))
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     lists, counts, scales, overflow, near_dropped = cull_clusters(
-        cluster_min, cluster_max, rays, t_eff, n_pad, maxv
+        cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
     )
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    out_shape = [jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32)] * 2
+    out_shape = [jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)] * 2
 
     def run(lsts, cnts, scls, mv, shared):
         return pl.pallas_call(
             functools.partial(_closest_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 2, shared),
+            grid_spec=_grid_spec(tiles, mv, 2, shared, tile_rows),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes)
@@ -646,7 +653,7 @@ def trace_closest_clusters(
         def fallback(o):
             counts_f = jnp.where(unresolved, jnp.int32(C), 0)
             outs_f = run(lists_full, counts_f, zscale, maxv_full, True)
-            m = jnp.repeat(unresolved, TILE_ROWS)[:, None]
+            m = jnp.repeat(unresolved, tile_rows)[:, None]
             return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
 
         outs = jax.lax.cond(any_un, fallback, lambda o: o, outs)
@@ -662,7 +669,7 @@ def trace_closest_clusters(
     return hit, stats
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "interpret"))
 def trace_any_clusters(
     tri_tab: jnp.ndarray,
     cluster_min: jnp.ndarray,
@@ -671,6 +678,7 @@ def trace_any_clusters(
     t_max=_INF,
     *,
     max_visits: int = DEFAULT_MAX_VISITS,
+    tile_rows: int = TILE_ROWS,
     interpret: bool = False,
 ):
     """Occlusion query; returns (occluded (N,) bool, stats dict).
@@ -684,24 +692,25 @@ def trace_any_clusters(
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
         "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
     )
-    tiles = -(-n // TILE)
-    n_pad = tiles * TILE
+    tile = tile_rows * LANES
+    tiles = -(-n // tile)
+    n_pad = tiles * tile
     maxv = _pad128(min(max_visits, C))
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     lists, counts, scales, overflow, _near_dropped = cull_clusters(
-        cluster_min, cluster_max, rays, t_eff, n_pad, maxv
+        cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
     )
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
     cb = _cid_bits(C)
-    out_shape = jax.ShapeDtypeStruct((tiles * TILE_ROWS, LANES), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)
 
     def run(lsts, cnts, scls, mv, shared):
         return pl.pallas_call(
             functools.partial(_any_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 1, shared),
+            grid_spec=_grid_spec(tiles, mv, 1, shared, tile_rows),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes)
@@ -719,7 +728,7 @@ def trace_any_clusters(
         def fallback(o):
             counts_f = jnp.where(unresolved, jnp.int32(C), 0)
             occ_f = run(lists_full, counts_f, zscale, maxv_full, True)
-            m = jnp.repeat(unresolved, TILE_ROWS)[:, None]
+            m = jnp.repeat(unresolved, tile_rows)[:, None]
             return jnp.where(m, occ_f, o)
 
         occ = jax.lax.cond(any_un, fallback, lambda o: o, occ)

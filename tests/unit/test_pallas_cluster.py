@@ -318,3 +318,32 @@ def test_ray_t_bounds_supercluster_grouping():
     # rays with a zero exact bound may still get a loose grouped bound,
     # but never the other way around
     assert ((exact == 0) | (grouped > 0)).all()
+
+
+@pytest.mark.parametrize("tile_rows", [1, 2, 4])
+def test_tile_rows_invariance(setup, tile_rows):
+    """Results are identical for every kernel tile size (the tile is a
+    perf knob: tighter frusta vs more per-tile overhead)."""
+    r, rays = setup
+    bvh = r.bvh
+    want, _ = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        interpret=True,
+    )
+    got, _ = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        tile_rows=tile_rows, interpret=True,
+    )
+    assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+
+    w_occ, _ = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((rays.origin.shape[0],), 1e4, jnp.float32), interpret=True,
+    )
+    g_occ, _ = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((rays.origin.shape[0],), 1e4, jnp.float32),
+        tile_rows=tile_rows, interpret=True,
+    )
+    assert (np.asarray(g_occ) == np.asarray(w_occ)).all()
