@@ -189,7 +189,7 @@ def main(argv=None) -> int:
                         (r.aux["trace_overflow"], r.aux["trace_retraced"],
                          r.aux["trace_unresolved"])
                     )
-            jax.block_until_ready(state.accum)
+            float(state.accum.addressable_shards[0].data[0, 0, 0])  # real sync
             r.metrics["seconds"] += time.perf_counter() - t_loop
             r.state = state  # image()/checkpoints gather lazily
             # honest ray accounting, matching Renderer.render/metrics:

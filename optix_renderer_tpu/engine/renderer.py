@@ -330,7 +330,11 @@ class Renderer:
                     (self.aux["trace_overflow"], self.aux["trace_retraced"],
                      self.aux["trace_unresolved"])
                 )
-        jax.block_until_ready(self.state.accum)
+        # scalar fetch = real sync: block_until_ready returns before
+        # execution completes on the axon tunnel backend, which would
+        # credit the render with enqueue time only
+        if frames:
+            float(self.state.accum[0, 0, 0])
         self._metrics["seconds"] += time.perf_counter() - t0
 
         n = self.width * self.height
