@@ -259,7 +259,7 @@ def _permute_hit(h: Hit, perm: jnp.ndarray) -> Hit:
 
 def trace_closest_si(
     ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None,
-    coherent: bool = True,
+    coherent: bool = True, active: jnp.ndarray | None = None,
 ):
     """Trace + shade in one step, picking the fastest correct path for the
     backend/scene size (the single entry point integrators should use).
@@ -273,6 +273,14 @@ def trace_closest_si(
     (the cull is conservative and overflow is checked, so the closest hit
     doesn't depend on tile grouping); sorting is pure overhead for small
     scenes and skipped.
+
+    ``active`` (bool (N,), optional): lanes the caller will mask out
+    anyway (dead path lanes).  On the cluster tier these rays are
+    rewritten to start above the scene pointing up, so ray_t_bounds
+    assigns them t=0 and they cost nothing in the cull or the kernel
+    (and the coherence sort packs them into wholly-inert tiles).  The
+    SIMT reference gets this for free from divergence; a lane-vector
+    machine must say it explicitly.  Inactive lanes return miss.
     """
     from ..accel.pallas_cluster import zero_trace_stats
     from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu, trace_closest
@@ -281,6 +289,14 @@ def trace_closest_si(
     if not _on_cpu() and T > PALLAS_BRUTE_MAX_TRIS:
         from ..accel.pallas_cluster import trace_closest_clusters
 
+        if active is not None:
+            out_o = bvh.cluster_max.max(axis=0) + 1.0  # above everything
+            up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+            m = active[:, None]
+            rays = Ray(
+                origin=jnp.where(m, rays.origin, out_o[None, :]),
+                direction=jnp.where(m, rays.direction, up[None, :]),
+            )
         if coherent:
             hit, stats = trace_closest_clusters(
                 bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays

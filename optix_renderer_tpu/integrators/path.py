@@ -142,7 +142,12 @@ def path_color(
         ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
 
         shadow_ray = Ray(origin=shadow_origin, direction=ldir)
-        occluded, any_stats = trace_any_with_stats(bvh, shadow_ray, t_max=dist * (1.0 - 1e-3))
+        # dead lanes get t_max = 0: the cluster tier's per-ray t bound
+        # then culls them for free (alive is folded into nee_ok below
+        # anyway, so the result is unchanged)
+        occluded, any_stats = trace_any_with_stats(
+            bvh, shadow_ray, t_max=jnp.where(alive, dist * (1.0 - 1e-3), 0.0)
+        )
 
         light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))
         wi_local_nee = cm.normalize(cm.apply_mat(to_local, ldir), eps=1e-30)
@@ -169,8 +174,12 @@ def path_color(
         brdf = material.evaluate(wi_local, wo_local, s["diffuse"], s["alpha"])
         dir_world = cm.normalize(cm.apply_mat(to_world, wi_local), eps=1e-30)
         bounce_ray = Ray(origin=s["p"] + s["n"] * ray_eps, direction=dir_world)
-        # bounce rays are incoherent: let the big-scene tier sort them
-        bounce_si, closest_stats = trace_closest_si(ds, bvh, bounce_ray, coherent=False)
+        # bounce rays are incoherent: let the big-scene tier sort them;
+        # lanes that cannot contribute (dead, or an invalid BSDF sample)
+        # are marked inactive so the cluster tier skips them entirely
+        bounce_si, closest_stats = trace_closest_si(
+            ds, bvh, bounce_ray, coherent=False, active=sample_ok
+        )
 
         hit_light = sample_ok & bounce_si.hit & bounce_si.is_light
         d2 = jnp.sum((bounce_si.p - s["p"]) ** 2, axis=-1)
