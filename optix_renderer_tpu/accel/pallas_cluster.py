@@ -265,7 +265,12 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
 # triangle attributes (Mosaic has no lane-offset ref reads).
 # ---------------------------------------------------------------------------
 
-_N_BUF = 2  # cluster DMA double buffer
+_N_BUF = 8  # cluster DMA ring buffer
+_PREFETCH = 7  # DMAs kept in flight ahead of the visit cursor: the visit
+# loop is cluster-DMA LATENCY bound (~1.3 us/visit measured with the MT
+# block entirely skipped — compute is hidden, the wait is not), so a
+# 2-deep double buffer stalls every iteration; a deep ring hides the
+# latency behind the previous visits' compute.
 
 
 def _chunk_cols(blk, ci):
@@ -366,7 +371,10 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
 
     @pl.when(cnt > 0)
     def _run():
-        cluster_dma(0, 0).start()
+        for i in range(_PREFETCH):  # fill the ring
+            @pl.when(i < cnt)
+            def _fill(i=i):
+                cluster_dma(i % _N_BUF, i).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
@@ -379,9 +387,9 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
         def visit(state):
             k, _ = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + _PREFETCH < cnt)
             def _prefetch():
-                cluster_dma((k + 1) % _N_BUF, k + 1).start()
+                cluster_dma((k + _PREFETCH) % _N_BUF, k + _PREFETCH).start()
 
             cluster_dma(k % _N_BUF, k).wait()
             blk = buf[k % _N_BUF]  # (8, 128) value
@@ -422,11 +430,14 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
             cond, visit, (jnp.int32(0), jnp.max(_key_t_up(key_ref[:])))
         )
 
-        # drain: early termination leaves the k_end prefetch in flight, and
-        # a DMA outstanding at kernel exit is undefined behaviour
-        @pl.when(k_end < cnt)
-        def _drain():
-            cluster_dma(k_end % _N_BUF, k_end).wait()
+        # drain: early termination leaves up to _PREFETCH DMAs in flight,
+        # and a DMA outstanding at kernel exit is undefined behaviour
+        def _wait_one(k, _):
+            cluster_dma(k % _N_BUF, k).wait()
+            return 0
+        jax.lax.fori_loop(
+            k_end, jnp.minimum(cnt, k_end + _PREFETCH), _wait_one, 0
+        )
 
 
 def _any_cluster_kernel(cid_bits: int, maxv: int,
@@ -456,7 +467,10 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
 
     @pl.when(cnt > 0)
     def _run():
-        cluster_dma(0, 0).start()
+        for i in range(_PREFETCH):  # fill the ring
+            @pl.when(i < cnt)
+            def _fill(i=i):
+                cluster_dma(i % _N_BUF, i).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
@@ -469,9 +483,9 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
         def visit(state):
             k, _ = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + _PREFETCH < cnt)
             def _prefetch():
-                cluster_dma((k + 1) % _N_BUF, k + 1).start()
+                cluster_dma((k + _PREFETCH) % _N_BUF, k + _PREFETCH).start()
 
             cluster_dma(k % _N_BUF, k).wait()
             blk = buf[k % _N_BUF]
@@ -496,9 +510,12 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
 
         k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
 
-        @pl.when(k_end < cnt)
-        def _drain():
-            cluster_dma(k_end % _N_BUF, k_end).wait()
+        def _wait_one(k, _):
+            cluster_dma(k % _N_BUF, k).wait()
+            return 0
+        jax.lax.fori_loop(
+            k_end, jnp.minimum(cnt, k_end + _PREFETCH), _wait_one, 0
+        )
 
 
 def _planes(rays: Ray, tmax, n_pad: int):
