@@ -200,12 +200,14 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
         dl = d_lo[:, a:a + 1]
         dh = d_hi[:, a:a + 1]
         straddle = (dl <= 0.0) & (dh >= 0.0)
-        sdl = jnp.where(jnp.abs(dl) < 1e-20, 1e-20, dl)
-        sdh = jnp.where(jnp.abs(dh) < 1e-20, 1e-20, dh)
-        q1 = n_lo / sdl
-        q2 = n_lo / sdh
-        q3 = n_hi / sdl
-        q4 = n_hi / sdh
+        # reciprocals are per-tile scalars — multiplying beats dividing
+        # the big (tiles, C) operands 4x per axis
+        rdl = 1.0 / jnp.where(jnp.abs(dl) < 1e-20, 1e-20, dl)
+        rdh = 1.0 / jnp.where(jnp.abs(dh) < 1e-20, 1e-20, dh)
+        q1 = n_lo * rdl
+        q2 = n_lo * rdh
+        q3 = n_hi * rdl
+        q4 = n_hi * rdh
         near_a = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
         far_a = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
         # a direction interval straddling zero gives an unbounded slab
@@ -228,7 +230,11 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     D = (1 << nb) - 2
     kmax = jnp.max(jnp.where(overlap, key, 0.0), axis=1)  # (tiles,)
     scale = jnp.maximum(kmax, 1e-6) / D  # decode factor
-    nearq = jnp.clip(jnp.floor(key / scale[:, None]), 0, D).astype(jnp.int32)
+    # -1: floor(key * (1/scale)) can land one quantum above floor(key /
+    # scale) from reciprocal rounding; the packed near must UNDERestimate
+    # the true entry distance or the front-to-back cut could skip a
+    # cluster holding a marginally closer hit
+    nearq = jnp.clip(jnp.floor(key * (1.0 / scale)[:, None]) - 1.0, 0, D).astype(jnp.int32)
     cid = jnp.arange(C, dtype=jnp.int32)[None, :]
     packed = jnp.where(overlap, (nearq << cb) | cid, ((D + 1) << cb) | cid)
 
@@ -251,6 +257,57 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
         near_dropped = jnp.full((tiles,), _INF, jnp.float32)
     return lists, counts, scale, overflow, near_dropped
 
+
+
+def refine_lists_per_lane(lists, counts, scales, cluster_min, cluster_max,
+                          rays: Ray, t_eff, n_pad: int, tile: int, cid_bits: int):
+    """Per-LANE liveness refinement of the per-tile cluster lists (XLA).
+
+    The tile-level cull is hostage to its worst lane: one grazing ray
+    keeps the whole tile's frustum/far wide, so incoherent (bounce) tiles
+    list ~20%% of ALL clusters while only ~8%% of those contain any lane's
+    hit (measured on the terrain, benchmarks/sim_cull.py methodology).
+    This pass re-tests every listed cluster against every INDIVIDUAL
+    lane's slab + per-ray t bound — dense VPU arithmetic, no gathers in
+    the kernel, no syncs — and compacts the list to entries some lane
+    could actually hit.  Exactness: an entry is dropped only if NO lane
+    can intersect it within its own conservative bound, so the kernel
+    result is unchanged; the overflow/near_dropped bookkeeping is
+    untouched (refinement only removes provably-dead entries BELOW the
+    cap).  Front-to-back order is preserved (stable partition).
+    """
+    tiles, maxv = lists.shape
+    cmask = (1 << cid_bits) - 1
+    cids = lists & cmask
+    bmin = jnp.take(cluster_min, cids, axis=0)  # (tiles, maxv, 3)
+    bmax = jnp.take(cluster_max, cids, axis=0)
+
+    n = rays.origin.shape[0]
+    pad = n_pad - n
+    o = jnp.pad(rays.origin, ((0, pad), (0, 0)), mode="edge").reshape(tiles, tile, 3)
+    d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge").reshape(tiles, tile, 3)
+    tl = jnp.pad(t_eff, (0, pad), mode="edge").reshape(tiles, tile)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    CH = 128  # maxv chunk: bounds the (tiles, tile, CH) intermediates
+    live_chunks = []
+    for c0 in range(0, maxv, CH):
+        b0 = bmin[:, c0:c0 + CH]  # (tiles, CH, 3)
+        b1 = bmax[:, c0:c0 + CH]
+        t0 = (b0[:, None] - o[:, :, None]) * inv[:, :, None]  # (tiles, tile, CH, 3)
+        t1 = (b1[:, None] - o[:, :, None]) * inv[:, :, None]
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (tiles, tile, CH)
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        lv = (near <= far) & (far > 0.0) & (near < tl[:, :, None])
+        live_chunks.append(jnp.any(lv, axis=1))  # (tiles, CH)
+    live = jnp.concatenate(live_chunks, axis=1)  # (tiles, maxv)
+    live = live & (jnp.arange(maxv, dtype=jnp.int32)[None, :] < counts[:, None])
+
+    # stable partition: live entries first, original (near-sorted) order kept
+    order = jnp.argsort(~live, axis=1, stable=True)
+    lists2 = jnp.take_along_axis(lists, order, axis=1)
+    counts2 = live.sum(axis=1).astype(jnp.int32)
+    return lists2, counts2
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +382,7 @@ def _key_t_up(key):
 def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                            tmax_ref,
+                            tmax_ref, key0_ref, cid0_ref,
                             key_ref, cid_ref,
                             lst_scr, buf, sems, lsem):
     """Branchless packed-key closest hit.
@@ -351,11 +408,13 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
 
-    # init: key encodes the per-lane t bound (worst local id so any real
-    # hit at the same quantum still improves); cid = -1 marks a miss
-    tb = jax.lax.bitcast_convert_type(tmax_ref[:], jnp.int32)
-    key_ref[:] = (tb & ~_LOCAL_MASK) | _LOCAL_MASK
-    cid_ref[:] = jnp.full(tb.shape, -1, jnp.int32)
+    # init from the warm-start refs: the cold pass feeds the per-lane t
+    # bound packed as a key (worst local id, cid = -1); the overflow
+    # fallback feeds the first pass's RESULT keys, so its front-to-back
+    # early-out starts at the already-achieved hit distances and only the
+    # clusters that could still improve are visited
+    key_ref[:] = key0_ref[:]
+    cid_ref[:] = cid0_ref[:]
 
     lcopy.wait()
 
@@ -543,10 +602,11 @@ def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool, tile_rows:
     lidx = (lambda t, cnt, sc: (0, 0)) if shared_lists else (lambda t, cnt, sc: (t, 0))
     lst_spec = pl.BlockSpec((8, maxv // 8), lidx, memory_space=pltpu.VMEM)
     out_specs = [tile_spec] * n_out if n_out > 1 else tile_spec
+    n_in = 7 if n_out == 1 else 9  # any-hit: 7 planes; closest: + key0/cid0
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles,),
-        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * 7,
+        in_specs=[lst_spec, pl.BlockSpec(memory_space=pl.ANY)] + [tile_spec] * n_in,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.SMEM((8, maxv // 8), jnp.int32),
@@ -606,7 +666,7 @@ def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret"))
 def trace_closest_clusters(
     tri_tab: jnp.ndarray,
     geom_tab: jnp.ndarray,
@@ -617,6 +677,7 @@ def trace_closest_clusters(
     *,
     max_visits: int = DEFAULT_MAX_VISITS,
     tile_rows: int = TILE_ROWS,
+    refine: bool = False,
     interpret: bool = False,
 ):
     """Returns (Hit in ORIGINAL triangle ids, stats dict — see
@@ -643,23 +704,37 @@ def trace_closest_clusters(
     lists, counts, scales, overflow, near_dropped = cull_clusters(
         cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
     )
+    cb = _cid_bits(C)
+    if refine:  # incoherent rays: per-lane list refinement (see docstring)
+        lists, counts = refine_lists_per_lane(
+            lists, counts, scales, cluster_min, cluster_max, rays, t_eff,
+            n_pad, tile, cb,
+        )
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
-    cb = _cid_bits(C)
     out_shape = [jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)] * 2
+    tmax_plane = planes[-1]
+    tb = jax.lax.bitcast_convert_type(tmax_plane, jnp.int32)
+    key_cold = (tb & ~_LOCAL_MASK) | _LOCAL_MASK
+    cid_cold = jnp.full(tb.shape, -1, jnp.int32)
 
-    def run(lsts, cnts, scls, mv, shared):
+    def run(lsts, cnts, scls, mv, shared, key0, cid0):
         return pl.pallas_call(
             functools.partial(_closest_cluster_kernel, cb, mv),
             grid_spec=_grid_spec(tiles, mv, 2, shared, tile_rows),
             out_shape=out_shape,
             interpret=interpret,
-        )(cnts, scls, lsts, tri_tab, *planes)
+        )(cnts, scls, lsts, tri_tab, *planes, key0, cid0)
 
-    outs = tuple(run(lists, counts, scales, maxv, False))
+    outs = tuple(run(lists, counts, scales, maxv, False, key_cold, cid_cold))
 
     if C > maxv:  # overflow possible: checked fallback
+        # The fallback re-traces unresolved tiles WARM-STARTED from the
+        # first pass's keys: front-to-back + an already-achieved t bound
+        # means it only visits clusters that could still improve, instead
+        # of the full list cold (measured 42 s/frame on terrain PATH
+        # depth-4, where incoherent bounce tiles overflow every trace).
         t_tile = _key_t_up(outs[0]).reshape(tiles, -1).max(axis=1)
         unresolved = (overflow > 0) & (t_tile > near_dropped)
         any_un = jnp.any(unresolved)
@@ -669,7 +744,7 @@ def trace_closest_clusters(
 
         def fallback(o):
             counts_f = jnp.where(unresolved, jnp.int32(C), 0)
-            outs_f = run(lists_full, counts_f, zscale, maxv_full, True)
+            outs_f = run(lists_full, counts_f, zscale, maxv_full, True, o[0], o[1])
             m = jnp.repeat(unresolved, tile_rows)[:, None]
             return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
 
@@ -686,7 +761,7 @@ def trace_closest_clusters(
     return hit, stats
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret"))
 def trace_any_clusters(
     tri_tab: jnp.ndarray,
     cluster_min: jnp.ndarray,
@@ -696,6 +771,7 @@ def trace_any_clusters(
     *,
     max_visits: int = DEFAULT_MAX_VISITS,
     tile_rows: int = TILE_ROWS,
+    refine: bool = False,
     interpret: bool = False,
 ):
     """Occlusion query; returns (occluded (N,) bool, stats dict).
@@ -718,10 +794,14 @@ def trace_any_clusters(
     lists, counts, scales, overflow, _near_dropped = cull_clusters(
         cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
     )
+    cb = _cid_bits(C)
+    if refine:
+        lists, counts = refine_lists_per_lane(
+            lists, counts, scales, cluster_min, cluster_max, rays, t_eff,
+            n_pad, tile, cb,
+        )
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
-
-    cb = _cid_bits(C)
     out_shape = jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)
 
     def run(lsts, cnts, scls, mv, shared):

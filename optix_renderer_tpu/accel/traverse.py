@@ -119,7 +119,8 @@ def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarra
     return occ
 
 
-def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF):
+def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF,
+                         refine: bool = False):
     """Visibility query returning (occluded, trace stats dict) — the stats
     carry the cluster tier's cull-overflow/re-trace observability
     (pallas_cluster.zero_trace_stats keys; zeros on the other tiers)."""
@@ -135,7 +136,8 @@ def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF):
         from .pallas_cluster import trace_any_clusters
 
         return trace_any_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max,
+            refine=refine,
         )
     if T <= BRUTE_MAX_TRIS:
         return trace_any_brute(bvh, rays, t_min, t_max), zero_trace_stats()

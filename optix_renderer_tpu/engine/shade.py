@@ -310,7 +310,7 @@ def trace_closest_si(
             sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
             hit_s, stats = trace_closest_clusters(
                 bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
-                sorted_rays
+                sorted_rays, refine=True
             )
             n = rays.origin.shape[0]
             inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))

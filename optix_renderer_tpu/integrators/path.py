@@ -146,7 +146,8 @@ def path_color(
         # then culls them for free (alive is folded into nee_ok below
         # anyway, so the result is unchanged)
         occluded, any_stats = trace_any_with_stats(
-            bvh, shadow_ray, t_max=jnp.where(alive, dist * (1.0 - 1e-3), 0.0)
+            bvh, shadow_ray, t_max=jnp.where(alive, dist * (1.0 - 1e-3), 0.0),
+            refine=True,
         )
 
         light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))

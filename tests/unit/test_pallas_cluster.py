@@ -347,3 +347,40 @@ def test_tile_rows_invariance(setup, tile_rows):
         tile_rows=tile_rows, interpret=True,
     )
     assert (np.asarray(g_occ) == np.asarray(w_occ)).all()
+
+
+def test_refined_lists_match_unrefined(big_setup):
+    """Per-lane list refinement must be invisible in results: it only
+    drops entries no individual lane can hit within its own bound."""
+    r = big_setup
+    bvh = r.bvh
+    rng = np.random.default_rng(11)
+    n = 2048
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    o[:, 1] = hi[1] * 1.1
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32), direction=jnp.asarray(d, jnp.float32))
+
+    want, _ = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        interpret=True,
+    )
+    got, _ = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        refine=True, interpret=True,
+    )
+    assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+
+    w_occ, _ = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((n,), 1e5, jnp.float32), interpret=True,
+    )
+    g_occ, _ = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((n,), 1e5, jnp.float32), refine=True, interpret=True,
+    )
+    assert (np.asarray(g_occ) == np.asarray(w_occ)).all()
