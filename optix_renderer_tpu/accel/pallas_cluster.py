@@ -117,6 +117,10 @@ def clamp_t_exit(cluster_min, cluster_max, rays: Ray, t_max):
 
 
 _SC_GROUP = 64  # clusters per supercluster in the per-ray t-bound sweep
+_SC_KEEP = int(os.environ.get("OPTIX_TPU_SC_KEEP", "48"))  # per-lane cull
+# list width in supercluster units (48*64 = 3072 entries): bounds the
+# kernel's SMEM list block; live counts are hit-set sized so the cap is
+# rarely reached (checked by the overflow fallback when it is)
 
 
 def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
@@ -259,55 +263,102 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
 
 
 
-def refine_lists_per_lane(lists, counts, scales, cluster_min, cluster_max,
-                          rays: Ray, t_eff, n_pad: int, tile: int, cid_bits: int):
-    """Per-LANE liveness refinement of the per-tile cluster lists (XLA).
+def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
+                           n_pad: int, max_visits: int, tile: int = TILE):
+    """PER-LANE cull for incoherent rays (same contract as
+    :func:`cull_clusters`).
 
-    The tile-level cull is hostage to its worst lane: one grazing ray
-    keeps the whole tile's frustum/far wide, so incoherent (bounce) tiles
-    list ~20%% of ALL clusters while only ~8%% of those contain any lane's
-    hit (measured on the terrain, benchmarks/sim_cull.py methodology).
-    This pass re-tests every listed cluster against every INDIVIDUAL
-    lane's slab + per-ray t bound — dense VPU arithmetic, no gathers in
-    the kernel, no syncs — and compacts the list to entries some lane
-    could actually hit.  Exactness: an entry is dropped only if NO lane
-    can intersect it within its own conservative bound, so the kernel
-    result is unchanged; the overflow/near_dropped bookkeeping is
-    untouched (refinement only removes provably-dead entries BELOW the
-    cap).  Front-to-back order is preserved (stable partition).
+    The tile-level frustum cull is hostage to its worst lane: one grazing
+    ray keeps the whole tile's direction interval and far bound wide, so
+    bounce-ray tiles on a 1M-tri scene list ~20%% of ALL clusters, blow
+    the ``max_visits`` cap every trace, and land in the full-list
+    fallback (measured 41 s/frame for terrain PATH depth-4).  Here EVERY
+    cluster is slab-tested against every INDIVIDUAL lane within that
+    lane's own t bound — dense chunked XLA arithmetic, no gathers — so a
+    cluster is listed only if SOME lane can actually hit it.  Live
+    counts are hit-set sized (~200/tile for terrain bounce tiles, vs
+    ~3000 frustum-union), which makes the ``max_visits`` cap (here the
+    list width itself) a rare event instead of a universal one.
+
+    Cost: rays x clusters x ~12 ops (~60 ms at 1M rays x 15.6k clusters)
+    — linear, paid once, instead of seconds of full-list fallback.
     """
-    tiles, maxv = lists.shape
-    cmask = (1 << cid_bits) - 1
-    cids = lists & cmask
-    bmin = jnp.take(cluster_min, cids, axis=0)  # (tiles, maxv, 3)
-    bmax = jnp.take(cluster_max, cids, axis=0)
-
     n = rays.origin.shape[0]
     pad = n_pad - n
-    o = jnp.pad(rays.origin, ((0, pad), (0, 0)), mode="edge").reshape(tiles, tile, 3)
-    d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge").reshape(tiles, tile, 3)
-    tl = jnp.pad(t_eff, (0, pad), mode="edge").reshape(tiles, tile)
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    o = jnp.pad(rays.origin, ((0, pad), (0, 0)), mode="edge")
+    d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge")
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    tmax = jnp.pad(tmax, (0, pad), mode="edge")
+    tiles = n_pad // tile
+    C = cluster_min.shape[0]
 
-    CH = 128  # maxv chunk: bounds the (tiles, tile, CH) intermediates
-    live_chunks = []
-    for c0 in range(0, maxv, CH):
-        b0 = bmin[:, c0:c0 + CH]  # (tiles, CH, 3)
-        b1 = bmax[:, c0:c0 + CH]
-        t0 = (b0[:, None] - o[:, :, None]) * inv[:, :, None]  # (tiles, tile, CH, 3)
-        t1 = (b1[:, None] - o[:, :, None]) * inv[:, :, None]
-        near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (tiles, tile, CH)
-        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        lv = (near <= far) & (far > 0.0) & (near < tl[:, :, None])
-        live_chunks.append(jnp.any(lv, axis=1))  # (tiles, CH)
-    live = jnp.concatenate(live_chunks, axis=1)  # (tiles, maxv)
-    live = live & (jnp.arange(maxv, dtype=jnp.int32)[None, :] < counts[:, None])
+    ot = o.reshape(tiles, tile, 3)
+    tl = tmax.reshape(tiles, tile)
+    dt = d.reshape(tiles, tile, 3)
+    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-20, jnp.where(dt < 0, -1e-20, 1e-20), dt)
+    # per-component (tiles, tile, 1) operands: any array whose LAST axis
+    # is the xyz triple pads 3 -> 128 lanes on TPU (42x memory)
+    oc = [ot[:, :, a:a + 1] for a in range(3)]
+    ic = [inv[:, :, a:a + 1] for a in range(3)]
+    tl1 = tl[:, :, None]
 
-    # stable partition: live entries first, original (near-sorted) order kept
-    order = jnp.argsort(~live, axis=1, stable=True)
-    lists2 = jnp.take_along_axis(lists, order, axis=1)
-    counts2 = live.sum(axis=1).astype(jnp.int32)
-    return lists2, counts2
+    _CH = 128
+
+    def _sweep_chunk(b):
+        """One cluster chunk: b = (6, 1, ch) [min.xyz | max.xyz] ->
+        packed min-near over lanes (tiles, ch): entry distance of the
+        nearest lane that can hit, +inf if none.  Packing liveness into
+        the near keeps this ONE lane reduce, so the whole slab chain
+        fuses into it — no (tiles, tile, ch) temporaries survive."""
+        near = None
+        far = None
+        for a in range(3):
+            t0 = (b[a][:, None] - oc[a]) * ic[a]  # (tiles, tile, ch)
+            t1 = (b[3 + a][:, None] - oc[a]) * ic[a]
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            near = lo if near is None else jnp.maximum(near, lo)
+            far = hi if far is None else jnp.minimum(far, hi)
+        lv = (near <= far) & (far > 0.0) & (near < tl1)
+        return jnp.min(jnp.where(lv, jnp.maximum(near, 0.0), _INF), axis=1)
+
+    Kp = -(-C // _CH) * _CH
+    comps = []
+    for a in range(3):
+        comps.append(jnp.pad(cluster_min[:, a], (0, Kp - C), constant_values=_INF))
+    for a in range(3):
+        comps.append(jnp.pad(cluster_max[:, a], (0, Kp - C), constant_values=-_INF))
+    chunks = jnp.stack(comps, axis=0).reshape(6, Kp // _CH, _CH)
+    chunks = chunks.transpose(1, 0, 2)[:, :, None, :]  # (n_ch, 6, 1, ch)
+    near_t = jax.lax.map(_sweep_chunk, chunks)  # (n_ch, tiles, ch)
+    near_t = near_t.transpose(1, 0, 2).reshape(tiles, Kp)[:, :C]
+    cl_live = near_t < _INF
+
+    # packed top_k over live clusters -> standard front-to-back lists
+    cbits = _cid_bits(C)
+    nb = _NEAR_BITS_TOTAL - cbits
+    D = (1 << nb) - 2
+    key = jnp.where(cl_live, near_t, _INF)
+    kmax = jnp.max(jnp.where(cl_live, key, 0.0), axis=1)
+    scale = jnp.maximum(kmax, 1e-6) / D
+    nearq = jnp.clip(jnp.floor(key * (1.0 / scale)[:, None]) - 1.0, 0, D).astype(jnp.int32)
+    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
+    packed = jnp.where(cl_live, (nearq << cbits) | cid, ((D + 1) << cbits) | cid)
+    maxv = max_visits
+    k2 = min(maxv + 1, C)
+    top = -jax.lax.top_k(-packed, k2)[0]
+    lists = top[:, :maxv]
+    if lists.shape[1] < maxv:
+        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
+    total = cl_live.sum(axis=1).astype(jnp.int32)
+    counts = jnp.minimum(total, maxv)
+    overflow = total - counts
+    if k2 > maxv:
+        dq = (top[:, maxv] >> cbits).astype(jnp.float32)
+        near_dropped = jnp.where(overflow > 0, dq * scale, _INF)
+    else:
+        near_dropped = jnp.full((tiles,), _INF, jnp.float32)
+    return lists, counts, scale, overflow, near_dropped
 
 
 # ---------------------------------------------------------------------------
@@ -698,18 +749,19 @@ def trace_closest_clusters(
     tile = tile_rows * LANES
     tiles = -(-n // tile)
     n_pad = tiles * tile
-    maxv = _pad128(min(max_visits, C))
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
-    lists, counts, scales, overflow, near_dropped = cull_clusters(
-        cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
-    )
-    cb = _cid_bits(C)
-    if refine:  # incoherent rays: per-lane list refinement (see docstring)
-        lists, counts = refine_lists_per_lane(
-            lists, counts, scales, cluster_min, cluster_max, rays, t_eff,
-            n_pad, tile, cb,
+    if refine:  # incoherent rays: per-lane cull (see its docstring)
+        maxv = _pad128(min(_SC_KEEP * _SC_GROUP, C))
+        lists, counts, scales, overflow, near_dropped = cull_clusters_per_lane(
+            cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
+    else:
+        maxv = _pad128(min(max_visits, C))
+        lists, counts, scales, overflow, near_dropped = cull_clusters(
+            cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
+        )
+    cb = _cid_bits(C)
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
@@ -788,18 +840,19 @@ def trace_any_clusters(
     tile = tile_rows * LANES
     tiles = -(-n // tile)
     n_pad = tiles * tile
-    maxv = _pad128(min(max_visits, C))
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
-    lists, counts, scales, overflow, _near_dropped = cull_clusters(
-        cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
-    )
-    cb = _cid_bits(C)
     if refine:
-        lists, counts = refine_lists_per_lane(
-            lists, counts, scales, cluster_min, cluster_max, rays, t_eff,
-            n_pad, tile, cb,
+        maxv = _pad128(min(_SC_KEEP * _SC_GROUP, C))
+        lists, counts, scales, overflow, _near_dropped = cull_clusters_per_lane(
+            cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
+    else:
+        maxv = _pad128(min(max_visits, C))
+        lists, counts, scales, overflow, _near_dropped = cull_clusters(
+            cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
+        )
+    cb = _cid_bits(C)
     lists = lists.reshape(tiles * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
     out_shape = jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)
