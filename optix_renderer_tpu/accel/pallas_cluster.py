@@ -117,7 +117,7 @@ def clamp_t_exit(cluster_min, cluster_max, rays: Ray, t_max):
 
 
 _SC_GROUP = 64  # clusters per supercluster in the per-ray t-bound sweep
-_SC_KEEP = int(os.environ.get("OPTIX_TPU_SC_KEEP", "48"))  # per-lane cull
+_SC_KEEP = int(os.environ.get("OPTIX_TPU_SC_KEEP", "96"))  # per-lane cull
 # list width in supercluster units (48*64 = 3072 entries): bounds the
 # kernel's SMEM list block; live counts are hit-set sized so the cap is
 # rarely reached (checked by the overflow fallback when it is)
