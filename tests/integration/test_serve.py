@@ -30,7 +30,7 @@ def server(tmp_path_factory):
 
 
 def _get(server, path):
-    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=30) as f:
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=180) as f:
         return f.read()
 
 
@@ -38,7 +38,7 @@ def _post(server, body):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/control",
         data=json.dumps(body).encode(), method="POST")
-    with urllib.request.urlopen(req, timeout=30) as f:
+    with urllib.request.urlopen(req, timeout=180) as f:
         return json.loads(f.read())
 
 
