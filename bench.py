@@ -99,11 +99,13 @@ def main():
 
     r = Renderer(scene, width=width, height=height, mode=RendererType.PATH, path_depth=depth)
 
-    # warmup / compile
-    r.render(1)
+    # warmup / compile BOTH paths the timed call uses (the multi-frame
+    # scan and the single tail frame), then restart accumulation
+    r.render(frames)
     float(r.state.accum[0, 0, 0])  # real sync: see bench_terrain note
     alive = np.asarray(r.aux["path_alive_counts"], np.int64)
     rays_per_frame = width * height + 2 * int(alive.sum())
+    r.set_camera(r.scene.cameras[0])
 
     t0 = time.perf_counter()
     r.render(frames)

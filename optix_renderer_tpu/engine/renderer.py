@@ -173,6 +173,52 @@ def _frame_impl(
     return new_state, gb, aux
 
 
+def _frames_scan_impl(
+    state: RenderState,
+    ds: DeviceScene,
+    bvh: BVH,
+    *,
+    n: int,
+    mode: RendererType,
+    width: int,
+    height: int,
+    path_depth: int,
+    ratio_samples: int,
+):
+    """n accumulation frames inside ONE jit via lax.scan.
+
+    Per-frame host dispatch of the scene/BVH pytrees costs ~40 ms over
+    the TPU tunnel (measured: the terrain bench went 7.5 -> 11.0 Mrays/s
+    just by closing over the arguments), so the progressive loop runs
+    on-device.  The scan body drops the g-buffer outputs (XLA dead-code
+    eliminates their computation); callers run one ordinary frame after
+    the scan when they need gbuffers/aux.  RNG streams are keyed by the
+    carried accum_id, so the result is bit-identical to n separate
+    frames."""
+
+    def step(st, _):
+        color, _gb, aux = render_tile(
+            st.camera, st.accum_id, ds, bvh, 0,
+            mode=mode, width=width, height=height, rows=height,
+            path_depth=path_depth, ratio_samples=ratio_samples,
+        )
+        accum = st.accum + color.reshape(height, width, 3)
+        small = {k: v for k, v in aux.items()
+                 if k.startswith("trace_") or k == "path_alive_counts"}
+        return RenderState(accum=accum, accum_id=st.accum_id + 1,
+                           camera=st.camera), small
+
+    return jax.lax.scan(step, state, None, length=n)
+
+
+_frames_scan_jit = jax.jit(
+    _frames_scan_impl,
+    static_argnames=("n", "mode", "width", "height", "path_depth", "ratio_samples"),
+    keep_unused=True,
+    donate_argnums=(0,),
+)
+
+
 # A single pjit object for ALL configurations, with the mode/shape
 # parameters as jit-static kwargs.  Using one jit object matters: multiple
 # jax.jit wrappers around closures/partials sharing the same __code__
@@ -316,7 +362,31 @@ class Renderer:
 
         t0 = time.perf_counter()
         frames = 0
-        for _ in range(n_frames):
+        # Multi-frame batches run inside one jit (lax.scan) for PATH and
+        # g-buffer modes: per-frame dispatch of the scene/BVH pytrees
+        # costs ~40 ms over the tunnel.  The last frame always goes
+        # through the ordinary path so gbuffers/aux stay populated.
+        scan_ok = (
+            self.mode in GBUFFER_MODES or self.mode == RendererType.PATH
+        ) and self.mode not in DETERMINISTIC_MODES
+        n_scan = n_frames - 1 if scan_ok else 0
+        if n_scan > 0:
+            self.state, saux = _frames_scan_jit(
+                self.state, self.device_scene, self.bvh,
+                n=n_scan, mode=self.mode, width=self.width,
+                height=self.height, path_depth=self.path_depth,
+                ratio_samples=self.ratio_samples,
+            )
+            frames += n_scan
+            if "path_alive_counts" in saux:
+                for i in range(n_scan):  # (n, depth) stacked by the scan
+                    self._pending_counts.append(saux["path_alive_counts"][i])
+            if "trace_overflow" in saux:
+                self._pending_stats.append(
+                    (saux["trace_overflow"], saux["trace_retraced"],
+                     saux["trace_unresolved"])
+                )
+        for _ in range(n_frames - n_scan):
             if self.mode in DETERMINISTIC_MODES and int(self.state.accum_id) >= 1:
                 break  # analytic modes converge in one frame (SURVEY §2.9 #12)
             self.state, self.gbuffers, self.aux = self._frame(
