@@ -42,9 +42,18 @@ result is exact for every ``max_visits``; the cap is purely a perf knob.
 Matches the RT cores' contract: they never drop hits
 (cuda_src/deviceCode.cu:76).
 
-Primary rays additionally clamp ``t_max`` to the ray's scene-box exit
-distance, so lanes that miss everything cannot poison the tile-level
-front-to-back early-out with t=inf.
+Every ray's ``t_max`` is pre-clamped by a per-ray supercluster sweep
+(``ray_t_bounds``): rays overlapping no geometry get t=0, so sky lanes
+cannot poison the tile-level front-to-back early-out with t=inf.
+
+Incoherent (bounce/shadow) traces use ``cull_clusters_per_lane`` instead
+of the tile-frustum cull: every cluster is slab-tested against every
+INDIVIDUAL lane within its own t bound (dense chunked XLA), because a
+tile-level frustum is hostage to its worst lane and lists ~20% of ALL
+clusters for bounce tiles (measured; the per-lane lists are hit-set
+sized).  The closest kernel is branchless packed-key (quantized t |
+local tri id, one min per chunk) with exact (t, u, v, prim) recomputed
+post-trace from the flat geometry table.
 """
 
 from __future__ import annotations

@@ -128,12 +128,15 @@ def clip_polygon(verts: jnp.ndarray, vcount: jnp.ndarray) -> tuple[jnp.ndarray, 
     # case-row fetch: one-hot matmul (exact-precision; values < 128 are
     # exact in f32), then slot selection via one-hot over the 5 vertex
     # slots — zero per-lane gathers anywhere in the clip
-    onehot = (mask[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.float32)
+    # bf16 single-pass matmul is EXACT here: the one-hot is 0/1 and every
+    # CASE_TABLE value is an integer < 128 (8 mantissa bits suffice), so
+    # skip the 3-pass f32 HIGHEST decomposition and halve the one-hot's
+    # memory traffic
+    onehot = (mask[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.bfloat16)
     rows = jax.lax.dot_general(
-        onehot.reshape(-1, 128), jnp.asarray(CASE_TABLE),
+        onehot.reshape(-1, 128), jnp.asarray(CASE_TABLE, jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ).reshape(mask.shape + (16,))
     vc = rows[..., 0].astype(jnp.int32)
     op = rows[..., 1:6].astype(jnp.int32)  # (..., 5)
