@@ -140,3 +140,20 @@ def test_multibounce_adds_energy(scene):
 def test_light_pixels_show_emission(scene):
     _, img = render_mean(scene, depth=1, spp=1, size=32)
     assert img.max() >= 16.9  # light quad visible at the top
+
+
+def test_multiframe_scan_matches_stepwise(scene):
+    """render(n) runs n-1 frames as an in-jit lax.scan; it must be
+    bit-identical to n separate render(1) calls (RNG is keyed by the
+    carried accum_id)."""
+    from optix_renderer_tpu.engine.renderer import Renderer
+
+    a = Renderer(scene, width=32, height=32, mode=RendererType.PATH, path_depth=3)
+    b = Renderer(scene, width=32, height=32, mode=RendererType.PATH, path_depth=3)
+    a.render(4)
+    for _ in range(4):
+        b.render(1)
+    assert int(a.state.accum_id) == int(b.state.accum_id) == 4
+    np.testing.assert_array_equal(np.asarray(a.state.accum), np.asarray(b.state.accum))
+    # honest ray accounting agrees too
+    assert a.metrics["rays_traced"] == b.metrics["rays_traced"]
