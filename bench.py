@@ -82,7 +82,7 @@ def main():
         return bench_terrain()
     width = height = int(os.environ.get("BENCH_RES", "1024"))
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
-    frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    frames = int(os.environ.get("BENCH_FRAMES", "16"))
 
     from optix_renderer_tpu.engine.modes import RendererType
     from optix_renderer_tpu.engine.renderer import Renderer
