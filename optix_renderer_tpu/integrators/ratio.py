@@ -116,8 +116,8 @@ def ratio_color(
     )
     all_dist = jnp.concatenate(dists, axis=0)
     occ_all, trace_stats = trace_any_with_stats(
-        bvh, all_rays, t_max=all_dist * (1.0 - 1e-3)
-    )
+        bvh, all_rays, t_max=all_dist * (1.0 - 1e-3), refine=True
+    )  # scattered shadow origins: per-lane cull on the big-scene tier
     occ = occ_all.reshape(n_samples, n)
 
     no_vis = sum(contribs) / n_samples

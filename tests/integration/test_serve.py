@@ -29,9 +29,17 @@ def server(tmp_path_factory):
     s.shutdown()
 
 
-def _get(server, path):
-    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=180) as f:
-        return f.read()
+def _get(server, path, tries=3):
+    for i in range(tries):
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}{path}", timeout=180
+            ) as f:
+                return f.read()
+        except OSError:
+            if i == tries - 1:
+                raise
+            time.sleep(0.5)
 
 
 def _post(server, body):
