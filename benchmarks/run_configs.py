@@ -28,9 +28,9 @@ QUICK = "--quick" in sys.argv
 
 def timed_render(scene, mode, spp, size, depth=4, **kw):
     r = Renderer(scene, width=size, height=size, mode=mode, path_depth=depth, **kw)
-    r.render(1)  # compile + warmup
-    m0 = dict(r.metrics)  # drains pending counts; snapshot before the window
     if mode in (RendererType.LTC_BASELINE, RendererType.MASK, RendererType.NORMALS):
+        r.render(1)  # compile + warmup
+        m0 = dict(r.metrics)
         # deterministic: time fresh single frames
         r.set_camera(r.scene.cameras[0])
         t0 = time.perf_counter()
@@ -38,6 +38,11 @@ def timed_render(scene, mode, spp, size, depth=4, **kw):
         dt = time.perf_counter() - t0
         frames = 1
     else:
+        # warm the SAME call shape the timed window uses: render(spp)
+        # compiles a multi-frame lax.scan that render(1) never touches
+        r.render(spp)
+        r.set_camera(r.scene.cameras[0])
+        m0 = dict(r.metrics)
         t0 = time.perf_counter()
         r.render(spp)
         dt = time.perf_counter() - t0
