@@ -22,14 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(f, *args, n=5, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(f(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(f(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts), out
+    from optix_renderer_tpu.utils.timing import timeit as _timeit
+    res, out = _timeit(f, *args, iters=n, warmup=warmup)
+    return res["amortized_s"], out
 
 
 def main():

@@ -77,8 +77,13 @@ _INF = np.float32(3.0e38)
 # overhead — benchmarks/sim_cull.py quantifies the trade; the env var
 # OPTIX_TPU_TILE_ROWS overrides the default for hardware A/Bs.
 TILE_ROWS = int(os.environ.get("OPTIX_TPU_TILE_ROWS", "8"))
+assert 1 <= TILE_ROWS <= 8, (
+    "OPTIX_TPU_TILE_ROWS must be in [1, 8]: the grouped cluster block has "
+    "8 sublanes and _lane_slab slices blk[:rows] out of it"
+)
 TILE = TILE_ROWS * LANES
 DEFAULT_MAX_VISITS = int(os.environ.get("OPTIX_TPU_MAX_VISITS", "1024"))
+assert DEFAULT_MAX_VISITS >= 1, "OPTIX_TPU_MAX_VISITS must be positive"
 # per-tile visited-cluster cap; overflowing tiles are detected and
 # re-traced with the full list (see module doc).  Lists live in HBM and
 # are DMA'd per tile into SMEM scratch, so the cap is bounded by scratch
@@ -127,9 +132,11 @@ def clamp_t_exit(cluster_min, cluster_max, rays: Ray, t_max):
 
 _SC_GROUP = 64  # clusters per supercluster in the per-ray t-bound sweep
 _SC_KEEP = int(os.environ.get("OPTIX_TPU_SC_KEEP", "96"))  # per-lane cull
-# list width in supercluster units (48*64 = 3072 entries): bounds the
-# kernel's SMEM list block; live counts are hit-set sized so the cap is
-# rarely reached (checked by the overflow fallback when it is)
+# list width in supercluster units (_SC_KEEP * _SC_GROUP = 6144 entries
+# at the default 96): bounds the kernel's SMEM list block; live counts
+# are hit-set sized so the cap is rarely reached (checked by the
+# overflow fallback when it is)
+assert _SC_KEEP >= 1, "OPTIX_TPU_SC_KEEP must be positive"
 
 
 def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
@@ -158,10 +165,18 @@ def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
     o, d = rays.origin, rays.direction
     safe = jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     inv = 1.0 / safe  # (N, 3)
-    t0 = (sc_min[None, :, :] - o[:, None, :]) * inv[:, None, :]  # (N, S, 3)
-    t1 = (sc_max[None, :, :] - o[:, None, :]) * inv[:, None, :]
-    near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, S)
-    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # componentwise axis loop: an (N, S, 3) intermediate would pad the
+    # trailing xyz triple 3 -> 128 lanes on TPU (42x the HBM traffic;
+    # measured 10.7 -> ~4 ms on the 1M-ray terrain sweep)
+    near = None
+    far = None
+    for a in range(3):
+        t0 = (sc_min[None, :, a] - o[:, a:a + 1]) * inv[:, a:a + 1]  # (N, S)
+        t1 = (sc_max[None, :, a] - o[:, a:a + 1]) * inv[:, a:a + 1]
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        near = lo if near is None else jnp.maximum(near, lo)
+        far = hi if far is None else jnp.minimum(far, hi)
     hit = (near <= far) & (far > 0.0)
     far_bound = jnp.max(jnp.where(hit, far, 0.0), axis=-1)  # (N,)
     any_hit = jnp.any(hit, axis=-1)
@@ -174,47 +189,53 @@ def ray_t_bounds(cluster_min, cluster_max, rays: Ray, t_max):
 # phase 1: dense tile-vs-cluster culling (pure XLA)
 # ---------------------------------------------------------------------------
 
-def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
-    """Per-tile front-to-back cluster lists via one packed top_k.
-
-    Returns (lists (tiles, max_visits) i32 packed [nearq | cid],
-    counts (tiles,) i32, scale (tiles,) f32 — decode near as
-    ``(entry >> cid_bits) * scale`` —, overflow (tiles,) i32 (clusters
-    dropped beyond max_visits), near_dropped (tiles,) f32 — decoded entry
-    distance of the first dropped cluster, +inf if none).
-    """
+def _tile_bounds(rays: Ray, t_max, n_pad: int, tile: int):
+    """Per-tile conservative ray bounds (origin box, direction interval,
+    max t).  Padding replicates the last real ray: a zero-padded
+    direction would straddle 0 on all three axes and make the tile's
+    frustum pass every slab test with tied keys (partial-tile
+    correctness bug)."""
     n = rays.origin.shape[0]
     pad = n_pad - n
-    # Replicate the last real ray into padding: a zero-padded direction
-    # would straddle 0 on all three axes and make the tile's frustum pass
-    # every slab test with tied keys (partial-tile correctness bug).
-    o = jnp.pad(rays.origin, ((0, pad), (0, 0)), mode="edge")
-    d = jnp.pad(rays.direction, ((0, pad), (0, 0)), mode="edge")
-    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tmax = jnp.pad(tmax, (0, pad), mode="edge")
     tiles = n_pad // tile
-    C = cluster_min.shape[0]
 
-    ot = o.reshape(tiles, tile, 3)
-    dt = d.reshape(tiles, tile, 3)
-    o_lo = ot.min(axis=1)  # (tiles, 3)
-    o_hi = ot.max(axis=1)
-    d_lo = dt.min(axis=1)
-    d_hi = dt.max(axis=1)
-    t_hi = tmax.reshape(tiles, tile).max(axis=1)  # (tiles,)
+    def comp(a):  # (n,) -> (tiles, tile); componentwise: a trailing
+        # xyz triple would pad 3 -> 128 lanes on TPU (42x the traffic)
+        return jnp.pad(a, (0, pad), mode="edge").reshape(tiles, tile)
 
-    near = jnp.zeros((tiles, C), jnp.float32)
+    def minmax(v):
+        cs = [comp(v[:, a]) for a in range(3)]
+        lo = jnp.stack([c.min(axis=1) for c in cs], axis=1)  # (tiles, 3)
+        hi = jnp.stack([c.max(axis=1) for c in cs], axis=1)
+        return lo, hi
+
+    o_lo, o_hi = minmax(rays.origin)
+    d_lo, d_hi = minmax(rays.direction)
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    return o_lo, o_hi, d_lo, d_hi, comp(tmax).max(axis=1)
+
+
+def _tile_slab(box_min, box_max, o_lo, o_hi, d_lo, d_hi, t_hi):
+    """Conservative tile-frustum vs AABB slab test.
+
+    ``box_min/max``: (1, K, 3) shared boxes or (tiles, K, 3) per-tile
+    gathered candidates.  Returns (near, far) of shape (tiles, K); a box
+    overlaps the frustum iff near <= far.
+    """
+    tiles = o_lo.shape[0]
+    K = box_min.shape[1]
+    near = jnp.zeros((tiles, K), jnp.float32)
     far = jnp.broadcast_to(t_hi[:, None], near.shape)
     for a in range(3):
-        bmin = cluster_min[None, :, a]  # (1, C)
-        bmax = cluster_max[None, :, a]
-        n_lo = bmin - o_hi[:, a:a + 1]  # (tiles, C)
+        bmin = box_min[:, :, a]
+        bmax = box_max[:, :, a]
+        n_lo = bmin - o_hi[:, a:a + 1]  # (tiles, K)
         n_hi = bmax - o_lo[:, a:a + 1]
         dl = d_lo[:, a:a + 1]
         dh = d_hi[:, a:a + 1]
         straddle = (dl <= 0.0) & (dh >= 0.0)
         # reciprocals are per-tile scalars — multiplying beats dividing
-        # the big (tiles, C) operands 4x per axis
+        # the big (tiles, K) operands 4x per axis
         rdl = 1.0 / jnp.where(jnp.abs(dl) < 1e-20, 1e-20, dl)
         rdh = 1.0 / jnp.where(jnp.abs(dh) < 1e-20, 1e-20, dh)
         q1 = n_lo * rdl
@@ -230,44 +251,143 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
         far_a = jnp.where(straddle, _INF, far_a)
         near = jnp.maximum(near, near_a)
         far = jnp.minimum(far, far_a)
+    return near, far
 
-    overlap = near <= far
-    key = jnp.where(overlap, jnp.maximum(near, 0.0), _INF)
 
-    # Pack floor-quantized near (never exceeds the true distance, so the
-    # kernel's early-out test stays conservative) with the cluster id in
-    # one int32; non-overlapping clusters get the reserved max quantum so
-    # they sort strictly after every real entry.
-    cb = _cid_bits(C)
-    nb = _NEAR_BITS_TOTAL - cb
+def _pack_topk_lists(near, live, ids, id_bits, max_visits):
+    """Shared list-packing tail of the cull paths: floor-quantized near
+    packed with the id, one top_k, overflow accounting.
+
+    Returns (lists, counts, scale, overflow, near_dropped, sorted_k).
+    ``ids``: (1_or_tiles, K) i32 the id carried in each entry's low bits.
+    """
+    tiles, K = near.shape
+    key = jnp.where(live, jnp.maximum(near, 0.0), _INF)
+    nb = _NEAR_BITS_TOTAL - id_bits
     D = (1 << nb) - 2
-    kmax = jnp.max(jnp.where(overlap, key, 0.0), axis=1)  # (tiles,)
+    kmax = jnp.max(jnp.where(live, key, 0.0), axis=1)  # (tiles,)
     scale = jnp.maximum(kmax, 1e-6) / D  # decode factor
     # -1: floor(key * (1/scale)) can land one quantum above floor(key /
     # scale) from reciprocal rounding; the packed near must UNDERestimate
     # the true entry distance or the front-to-back cut could skip a
     # cluster holding a marginally closer hit
-    nearq = jnp.clip(jnp.floor(key * (1.0 / scale)[:, None]) - 1.0, 0, D).astype(jnp.int32)
-    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
-    packed = jnp.where(overlap, (nearq << cb) | cid, ((D + 1) << cb) | cid)
+    nearq = jnp.clip(
+        jnp.floor(key * (1.0 / scale)[:, None]) - 1.0, 0, D
+    ).astype(jnp.int32)
+    packed = jnp.where(live, (nearq << id_bits) | ids, ((D + 1) << id_bits) | ids)
 
     # smallest (max_visits + 1) packed entries, ascending: lists + the
     # first dropped entry (for the overflow-resolution check)
-    k = min(max_visits + 1, C)
+    k = min(max_visits + 1, K)
     topneg, _ = jax.lax.top_k(-packed, k)
     sorted_k = -topneg
     lists = sorted_k[:, :max_visits]
     if lists.shape[1] < max_visits:
-        lists = jnp.pad(lists, ((0, 0), (0, max_visits - lists.shape[1])), mode="edge")
+        lists = jnp.pad(
+            lists, ((0, 0), (0, max_visits - lists.shape[1])), mode="edge")
 
-    total = overlap.sum(axis=1).astype(jnp.int32)
+    total = live.sum(axis=1).astype(jnp.int32)
     counts = jnp.minimum(total, max_visits)
     overflow = total - counts
     if k > max_visits:
-        dropped_q = (sorted_k[:, max_visits] >> cb).astype(jnp.float32)
+        dropped_q = (sorted_k[:, max_visits] >> id_bits).astype(jnp.float32)
         near_dropped = jnp.where(overflow > 0, dropped_q * scale, _INF)
     else:
         near_dropped = jnp.full((tiles,), _INF, jnp.float32)
+    return lists, counts, scale, overflow, near_dropped
+
+
+# static cap of live superclusters per tile in the two-level cull; tiles
+# exceeding it are flagged as overflow (checked fallback), never silently
+# truncated.  Terrain 1M-tri primaries measure max 48/tile
+# (benchmarks/sim_sc_counts.py); bounce rays saturate it but use the
+# per-lane cull instead.
+_SC_CAND = int(os.environ.get("OPTIX_TPU_SC_CAND", "64"))
+
+
+def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
+    """Per-tile front-to-back cluster lists via one packed top_k.
+
+    Returns (lists (tiles, max_visits) i32 packed [nearq | cid],
+    counts (tiles,) i32, scale (tiles,) f32 — decode near as
+    ``(entry >> cid_bits) * scale`` —, overflow (tiles,) i32 (clusters
+    dropped beyond max_visits), near_dropped (tiles,) f32 — decoded entry
+    distance of the first dropped cluster, +inf if none).
+
+    Big scenes use a TWO-LEVEL test: tile frusta against supercluster
+    AABBs first (C/64 boxes), then cluster slabs only for the clusters of
+    the nearest <= _SC_CAND overlapping superclusters (gathered per
+    tile).  The slab test is monotone under box enclosure (a cluster's
+    slab interval is contained in its supercluster's), so no cluster is
+    lost while its supercluster is kept; tiles overlapping more than
+    _SC_CAND superclusters report the dropped-SC entry distance through
+    (overflow, near_dropped) and are resolved by the caller's checked
+    full-list fallback — same exactness contract as the single-level
+    cull.  Measured: 34 -> ~9 ms per 1M-ray cull at 15.6k clusters (the
+    top_k was 17 ms at (tiles, C) and is k-independent).
+    """
+    tiles = n_pad // tile
+    C = cluster_min.shape[0]
+    o_lo, o_hi, d_lo, d_hi, t_hi = _tile_bounds(rays, t_max, n_pad, tile)
+    cb = _cid_bits(C)
+
+    use_two_level = C > 4096 and C > _SC_CAND * _SC_GROUP
+    if not use_two_level:
+        near, far = _tile_slab(
+            cluster_min[None], cluster_max[None], o_lo, o_hi, d_lo, d_hi, t_hi)
+        live = near <= far
+        cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], near.shape)
+        lists, counts, scale, overflow, near_dropped = _pack_topk_lists(
+            near, live, cid, cb, max_visits)
+        return lists, counts, scale, overflow, near_dropped
+
+    # ---- level 1: tile frusta vs supercluster AABBs ----
+    G = _SC_GROUP
+    S = -(-C // G)
+    padc = S * G - C
+    cmin = jnp.pad(cluster_min, ((0, padc), (0, 0)), constant_values=_INF)
+    cmax = jnp.pad(cluster_max, ((0, padc), (0, 0)), constant_values=-_INF)
+    sc_min = cmin.reshape(S, G, 3).min(axis=1)  # (S, 3)
+    sc_max = cmax.reshape(S, G, 3).max(axis=1)
+    sc_near, sc_far = _tile_slab(
+        sc_min[None], sc_max[None], o_lo, o_hi, d_lo, d_hi, t_hi)
+    sc_live = sc_near <= sc_far
+    sb = _cid_bits(S)
+    K1 = min(_SC_CAND, S)
+    sc_lists, sc_counts, sc_scale, sc_overflow, sc_near_dropped = \
+        _pack_topk_lists(
+            sc_near, sc_live,
+            jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], sc_near.shape),
+            sb, K1)
+
+    # ---- level 2: cluster slabs for the kept superclusters only ----
+    sc_ids = sc_lists & ((1 << sb) - 1)          # (tiles, K1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tiles, K1), 1)
+    cand_valid = slot < sc_counts[:, None]       # padded entries excluded
+    # candidate cluster ids: supercluster s spans clusters [s*G, (s+1)*G)
+    cand_cid = (sc_ids[:, :, None] * G
+                + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                ).reshape(tiles, K1 * G)
+    cand_cid = jnp.minimum(cand_cid, C - 1)      # tail-SC padding clusters
+    boxes = jnp.concatenate([cluster_min, cluster_max], axis=1)  # (C, 6)
+    cand_boxes = jnp.take(boxes, cand_cid, axis=0)  # (tiles, K1*G, 6)
+    near, far = _tile_slab(
+        cand_boxes[:, :, 0:3], cand_boxes[:, :, 3:6],
+        o_lo, o_hi, d_lo, d_hi, t_hi)
+    # dedupe the clamped tail duplicates: only the FIRST slot of a
+    # repeated cid stays live (repeat iff same cid as previous slot)
+    first = jnp.concatenate(
+        [jnp.ones((tiles, 1), bool), cand_cid[:, 1:] != cand_cid[:, :-1]], axis=1)
+    live = (near <= far) & jnp.repeat(cand_valid, G, axis=1) & first
+    lists, counts, scale, overflow, near_dropped = _pack_topk_lists(
+        near, live, cand_cid, cb, max_visits)
+
+    # account for dropped superclusters: flag overflow (cluster count in
+    # a dropped SC is unknown; G is a safe upper bound used only as a
+    # >0 flag and a stat) and floor near_dropped with the first dropped
+    # SC's entry distance so the caller's resolution check stays exact
+    overflow = overflow + jnp.where(sc_overflow > 0, sc_overflow * G, 0)
+    near_dropped = jnp.minimum(near_dropped, sc_near_dropped)
     return lists, counts, scale, overflow, near_dropped
 
 
@@ -382,12 +502,26 @@ def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
 # triangle attributes (Mosaic has no lane-offset ref reads).
 # ---------------------------------------------------------------------------
 
-_N_BUF = 8  # cluster DMA ring buffer
-_PREFETCH = 7  # DMAs kept in flight ahead of the visit cursor: the visit
-# loop is cluster-DMA LATENCY bound (~1.3 us/visit measured with the MT
-# block entirely skipped — compute is hidden, the wait is not), so a
-# 2-deep double buffer stalls every iteration; a deep ring hides the
-# latency behind the previous visits' compute.
+# Visits are processed in GROUPS of _VISIT_GROUP clusters per while-loop
+# iteration.  Round-3 profiling measured ~1.3 us/visit with the MT block
+# entirely force-skipped (compute rides free): the cost is the per-visit
+# vector->scalar syncs (pretest any(), early-out max()) plus Mosaic DMA
+# descriptor setup (~0.11 us/iteration floor).  Grouping divides the sync
+# cost by G: ONE any() over the union of the G per-lane pretests gates
+# ONE _test body covering all G clusters, and the front-to-back early-out
+# bound lives in SMEM and is recomputed only when a group actually
+# improved some lane's hit.  Early termination coarsens to group
+# granularity (<= G-1 extra visits per tile) — the lists are near-sorted
+# so the extra visits are the cheapest ones.
+_VISIT_GROUP = int(os.environ.get("OPTIX_TPU_VISIT_GROUP", "4"))
+assert 1 <= _VISIT_GROUP <= 16, "OPTIX_TPU_VISIT_GROUP must be in [1, 16]"
+_PF_GROUPS = int(os.environ.get("OPTIX_TPU_PF_GROUPS", "2"))  # visit
+# groups kept in flight ahead of the cursor: DMA latency (~1-2 us) is
+# hidden behind the previous groups' processing.
+_N_BUF = (_PF_GROUPS + 1) * _VISIT_GROUP  # cluster DMA ring buffer
+# experiment toggles (A/B profiling only; see benchmarks/prof_cull.py)
+_X_SKIP_MT = os.environ.get("OPTIX_TPU_X_SKIP_MT", "") == "1"
+_X_NO_PRETEST = os.environ.get("OPTIX_TPU_X_NO_PRETEST", "") == "1"
 
 
 def _chunk_cols(blk, ci):
@@ -444,8 +578,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                             tmax_ref, key0_ref, cid0_ref,
                             key_ref, cid_ref,
-                            lst_scr, buf, sems, lsem):
-    """Branchless packed-key closest hit.
+                            lst_scr, buf, sems, lsem, tb_ref):
+    """Branchless packed-key closest hit, _VISIT_GROUP clusters/iteration.
 
     Per lane the running state is ONE int32 ``key = (f32 bits of t with
     the low 6 bits cleared) | local-triangle-id`` plus the winning cluster
@@ -458,12 +592,23 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     because the Moller-Trumbore arithmetic is repeated operation-for-
     operation on the same inputs.  The ~2^-17-relative t quantization
     only affects ordering of nearly-coincident hits.
+
+    DMA scheduling is UNCONDITIONAL and perfectly balanced (every start
+    has exactly one wait): ``lst_at`` clamps any cursor to a real list
+    entry and every list entry — including the non-overlap sentinels and
+    edge padding — carries a valid cluster id, so prefetching past ``cnt``
+    fetches a harmless (unhittable or repeated) cluster instead of
+    needing a ``pl.when`` per DMA in the hot loop.  Visits past ``cnt``
+    within the final group cannot corrupt the result: sentinel clusters
+    failed the conservative tile frustum test (no lane can hit them) and
+    repeated clusters are idempotent under the key min.
     """
     ti = pl.program_id(0)
     cmask = (1 << cid_bits) - 1
     near_scale = scale_ref[ti]
     cnt = cnt_ref[ti]
     lw = maxv // 8
+    G = _VISIT_GROUP
 
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
@@ -479,7 +624,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     lcopy.wait()
 
     def lst_at(k):
-        k = jnp.minimum(k, maxv - 1)  # cond evaluates at k == cnt
+        k = jnp.minimum(k, maxv - 1)  # prefetch cursor can pass the end
         return lst_scr[k // lw, k % lw]
 
     def cluster_dma(slot, k):
@@ -490,72 +635,86 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
 
     @pl.when(cnt > 0)
     def _run():
-        for i in range(_PREFETCH):  # fill the ring
-            @pl.when(i < cnt)
-            def _fill(i=i):
-                cluster_dma(i % _N_BUF, i).start()
+        for i in range(_PF_GROUPS * G):  # fill the ring
+            cluster_dma(i % _N_BUF, i).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+        # front-to-back cut-off bound: SMEM so the skipped-group path pays
+        # no vector->scalar sync; recomputed only when a group improves
+        tb_ref[0] = jnp.max(_key_t_up(key_ref[:]))
 
-        def cond(state):
-            k, t_bound = state
-            near_k = (lst_at(k) >> cid_bits).astype(jnp.float32) * near_scale
-            return (k < cnt) & (near_k < t_bound)
+        def cond(g):
+            k0 = g * G
+            near_k = (lst_at(k0) >> cid_bits).astype(jnp.float32) * near_scale
+            return (k0 < cnt) & (near_k < tb_ref[0])
 
-        def visit(state):
-            k, _ = state
+        def visit(g):
+            k0 = g * G
+            for j in range(G):
+                cluster_dma((k0 + _PF_GROUPS * G + j) % _N_BUF,
+                            k0 + _PF_GROUPS * G + j).start()
+            blks = []
+            for j in range(G):
+                cluster_dma((k0 + j) % _N_BUF, k0 + j).wait()
+                blks.append(buf[(k0 + j) % _N_BUF])  # (8, 128) values
 
-            @pl.when(k + _PREFETCH < cnt)
-            def _prefetch():
-                cluster_dma((k + _PREFETCH) % _N_BUF, k + _PREFETCH).start()
+            # per-lane AABB pretest: skip the whole G x 64-triangle MT
+            # body when no ray in the tile can improve inside ANY cluster
+            # of the group — ONE any() sync per G visits.  (A/B-measured
+            # alternatives, all slower on v5e: per-row-group pl.when
+            # guards — 8 vector->scalar any() syncs per visit, 8.6 -> 3.4
+            # Mrays/s on the 1M terrain; a sublane-triangle (8,1)x(1,128)
+            # MT layout with per-stripe masking, 8.6 -> 4.5.)
+            kt_up = _key_t_up(key_ref[:])
+            live = None
+            for j in range(G):
+                near_l, far_l = _lane_slab(blks[j], ox, oy, oz, ix, iy, iz)
+                lv = (near_l <= far_l) & (far_l > 0.0) & (near_l < kt_up)
+                live = lv if live is None else (live | lv)
+            if _X_SKIP_MT:  # A/B floor: DMA+pretest+loop only (WRONG results)
+                live = live & False
+            gate = jnp.bool_(True) if _X_NO_PRETEST else jnp.any(live)
 
-            cluster_dma(k % _N_BUF, k).wait()
-            blk = buf[k % _N_BUF]  # (8, 128) value
-
-            # per-lane AABB pretest: skip the whole 64-triangle MT block
-            # when no ray in the tile can improve inside this cluster.
-            # (A/B-measured alternatives, both slower on v5e: per-row-group
-            # pl.when guards — 8 vector->scalar any() syncs per visit cost
-            # more than the skipped stripes save, 8.6 -> 3.4 Mrays/s on
-            # the 1M terrain — and a sublane-triangle (8,1)x(1,128) MT
-            # layout with per-stripe masking, 8.6 -> 4.5.)
-            near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
-            live = (near_l <= far_l) & (far_l > 0.0) & (near_l < _key_t_up(key_ref[:]))
-
-            @pl.when(jnp.any(live))
+            @pl.when(gate)
             def _test():
                 key = key_ref[:]
-                key0 = key
-                for ci in range(GROUP_CLUSTER // TRI_SUB):  # static unroll
-                    # chunks are independent (no running-t dependency):
-                    # ordering is entirely in the packed keys
-                    hit, tc, _, _ = _mt_chunk(
-                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, None
-                    )
-                    bits = jax.lax.bitcast_convert_type(tc, jnp.int32)
-                    local = jax.lax.broadcasted_iota(
-                        jnp.int32, bits.shape, 0) + ci * TRI_SUB
-                    kc = jnp.where(hit, (bits & ~_LOCAL_MASK) | local, _MISS_KEY)
-                    key = jnp.minimum(key, jnp.min(kc, axis=0))
-                upd = key < key0
-                cidv = lst_at(k) & cmask
-                cid_ref[:] = jnp.where(upd, cidv, cid_ref[:])
+                cidv = cid_ref[:]
+                for j in range(G):
+                    key_prev = key
+                    kc_min = None
+                    for ci in range(GROUP_CLUSTER // TRI_SUB):  # static
+                        # chunks are independent (no running-t
+                        # dependency): ordering is in the packed keys
+                        hit, tc, _, _ = _mt_chunk(
+                            _chunk_cols(blks[j], ci),
+                            ox, oy, oz, dx, dy, dz, None,
+                        )
+                        bits = jax.lax.bitcast_convert_type(tc, jnp.int32)
+                        local = jax.lax.broadcasted_iota(
+                            jnp.int32, bits.shape, 0) + ci * TRI_SUB
+                        kc = jnp.where(
+                            hit, (bits & ~_LOCAL_MASK) | local, _MISS_KEY)
+                        kc = jnp.min(kc, axis=0)
+                        kc_min = kc if kc_min is None else jnp.minimum(kc_min, kc)
+                    key = jnp.minimum(key, kc_min)
+                    cidv = jnp.where(key < key_prev, lst_at(k0 + j) & cmask, cidv)
+                cid_ref[:] = cidv
                 key_ref[:] = key
+                tb_ref[0] = jnp.max(_key_t_up(key))
 
-            return (k + 1, jnp.max(_key_t_up(key_ref[:])))
+            return g + 1
 
-        k_end, _ = jax.lax.while_loop(
-            cond, visit, (jnp.int32(0), jnp.max(_key_t_up(key_ref[:])))
-        )
+        g_end = jax.lax.while_loop(cond, visit, jnp.int32(0))
 
-        # drain: early termination leaves up to _PREFETCH DMAs in flight,
-        # and a DMA outstanding at kernel exit is undefined behaviour
+        # drain: early termination leaves exactly _PF_GROUPS groups of
+        # DMAs in flight (starts are unconditional), and a DMA
+        # outstanding at kernel exit is undefined behaviour
         def _wait_one(k, _):
             cluster_dma(k % _N_BUF, k).wait()
             return 0
         jax.lax.fori_loop(
-            k_end, jnp.minimum(cnt, k_end + _PREFETCH), _wait_one, 0
+            g_end * G, (g_end + _PF_GROUPS) * G, _wait_one, 0
         )
 
 
@@ -563,11 +722,18 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
                         cnt_ref, scale_ref, lst_ref, tri_hbm,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, occ_ref,
-                        lst_scr, buf, sems, lsem):
+                        lst_scr, buf, sems, lsem, done_ref):
+    """Occlusion kernel, _VISIT_GROUP clusters/iteration (same grouping
+    and unconditional DMA-balance arguments as _closest_cluster_kernel;
+    the all-lanes-occluded early-out flag lives in SMEM and is refreshed
+    only when a group actually occluded new lanes).  Visits past ``cnt``
+    in the final group are harmless: sentinel clusters cannot be hit and
+    repeated clusters are idempotent under the occlusion OR."""
     ti = pl.program_id(0)
     cmask = (1 << cid_bits) - 1
     cnt = cnt_ref[ti]
     lw = maxv // 8
+    G = _VISIT_GROUP
 
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
@@ -586,54 +752,57 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
 
     @pl.when(cnt > 0)
     def _run():
-        for i in range(_PREFETCH):  # fill the ring
-            @pl.when(i < cnt)
-            def _fill(i=i):
-                cluster_dma(i % _N_BUF, i).start()
+        for i in range(_PF_GROUPS * G):  # fill the ring
+            cluster_dma(i % _N_BUF, i).start()
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
         tmax = tmax_ref[:]
+        done_ref[0] = jnp.int32(0)
 
-        def cond(state):
-            k, done = state
-            return (k < cnt) & (done == 0)
+        def cond(g):
+            return (g * G < cnt) & (done_ref[0] == 0)
 
-        def visit(state):
-            k, _ = state
+        def visit(g):
+            k0 = g * G
+            for j in range(G):
+                cluster_dma((k0 + _PF_GROUPS * G + j) % _N_BUF,
+                            k0 + _PF_GROUPS * G + j).start()
+            blks = []
+            for j in range(G):
+                cluster_dma((k0 + j) % _N_BUF, k0 + j).wait()
+                blks.append(buf[(k0 + j) % _N_BUF])
 
-            @pl.when(k + _PREFETCH < cnt)
-            def _prefetch():
-                cluster_dma((k + _PREFETCH) % _N_BUF, k + _PREFETCH).start()
-
-            cluster_dma(k % _N_BUF, k).wait()
-            blk = buf[k % _N_BUF]
-
-            near_l, far_l = _lane_slab(blk, ox, oy, oz, ix, iy, iz)
-            live = (
-                (near_l <= far_l) & (far_l > 0.0) & (near_l < tmax)
-                & (occ_ref[:] == 0)
-            )
+            unocc = occ_ref[:] == 0
+            live = None
+            for j in range(G):
+                near_l, far_l = _lane_slab(blks[j], ox, oy, oz, ix, iy, iz)
+                lv = (near_l <= far_l) & (far_l > 0.0) & (near_l < tmax)
+                live = lv if live is None else (live | lv)
+            live = live & unocc
 
             @pl.when(jnp.any(live))
             def _test():
                 occ = occ_ref[:]
-                for ci in range(GROUP_CLUSTER // TRI_SUB):
-                    hit, _, _, _ = _mt_chunk(
-                        _chunk_cols(blk, ci), ox, oy, oz, dx, dy, dz, tmax
-                    )
-                    occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
+                for j in range(G):
+                    for ci in range(GROUP_CLUSTER // TRI_SUB):
+                        hit, _, _, _ = _mt_chunk(
+                            _chunk_cols(blks[j], ci),
+                            ox, oy, oz, dx, dy, dz, tmax,
+                        )
+                        occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
                 occ_ref[:] = occ
+                done_ref[0] = jnp.min(occ)
 
-            return (k + 1, jnp.min(occ_ref[:]))
+            return g + 1
 
-        k_end, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
+        g_end = jax.lax.while_loop(cond, visit, jnp.int32(0))
 
         def _wait_one(k, _):
             cluster_dma(k % _N_BUF, k).wait()
             return 0
         jax.lax.fori_loop(
-            k_end, jnp.minimum(cnt, k_end + _PREFETCH), _wait_one, 0
+            g_end * G, (g_end + _PF_GROUPS) * G, _wait_one, 0
         )
 
 
@@ -673,6 +842,8 @@ def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool, tile_rows:
             pltpu.VMEM((_N_BUF, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_N_BUF,)),
             pltpu.SemaphoreType.DMA(()),
+            # early-out scalar: f32 t bound (closest) / i32 done (any)
+            pltpu.SMEM((1,), jnp.float32 if n_out > 1 else jnp.int32),
         ],
     )
 

@@ -200,19 +200,25 @@ def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
     sublane axis) so the cluster kernel's per-lane slab pretest gets the
     bounds with the same DMA as the triangles.
     """
+    # the cluster kernels' per-lane AABB pretest reads attr 15 as the
+    # cluster bounds: omitting them would silently all-miss-cull every
+    # cluster (zero boxes), so they are REQUIRED here
+    assert cluster_min is not None and cluster_max is not None, (
+        "pack_tri_table_grouped needs cluster_min/cluster_max: the kernel's "
+        "per-lane slab pretest reads them from the pad columns"
+    )
     flat = _pack_tri_table_np(
         tri_v0, tri_e1, tri_e2, prim_id,
         normal=normal, mesh_id=mesh_id, area=area, pad_to=GROUP_CLUSTER,
     )
     C = flat.shape[0] // GROUP_CLUSTER
     a = flat.reshape(C, 8, 8, 16).copy()  # (cluster, group, sublane, attr)
-    if cluster_min is not None:
-        bounds = np.concatenate(
-            [np.asarray(cluster_min, np.float32), np.asarray(cluster_max, np.float32)],
-            axis=1,
-        )  # (C, 6)
-        for g in range(6):
-            a[:, g, :, 15] = bounds[:, g][:, None]
+    bounds = np.concatenate(
+        [np.asarray(cluster_min, np.float32), np.asarray(cluster_max, np.float32)],
+        axis=1,
+    )  # (C, 6)
+    for g in range(6):
+        a[:, g, :, 15] = bounds[:, g][:, None]
     return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(C * 8, 128))
 
 

@@ -189,7 +189,11 @@ def main(argv=None) -> int:
                         (r.aux["trace_overflow"], r.aux["trace_retraced"],
                          r.aux["trace_unresolved"])
                     )
-            float(state.accum.addressable_shards[0].data[0, 0, 0])  # real sync
+            # real sync: one scalar from EVERY addressable shard —
+            # fetching only shard 0 would stop the clock while other
+            # devices may still be executing (overstating Mrays/s)
+            for sh in state.accum.addressable_shards:
+                float(sh.data[0, 0, 0])
             r.metrics["seconds"] += time.perf_counter() - t_loop
             r.state = state  # image()/checkpoints gather lazily
             # honest ray accounting, matching Renderer.render/metrics:

@@ -414,6 +414,36 @@ class Renderer:
         self._metrics["frames"] += frames
         self._metrics["rays_traced"] += rays
 
+    # -- detached stepping (live viewer) ----------------------------------
+    def render_step_detached(self):
+        """One progressive frame computed from the CURRENT state WITHOUT
+        mutating the renderer: returns (state, gbuffers, aux).  The live
+        viewer renders outside its lock and either commits the result
+        via :meth:`commit_step` or discards it when a camera/mode change
+        raced the frame (viewer.hpp:553-568's async launch analog)."""
+        return self._frame(self.state, self.device_scene, self.bvh)
+
+    def commit_step(self, state, gbuffers, aux, seconds: float) -> None:
+        """Adopt a detached frame + do the same metrics accounting as
+        :meth:`render` (one non-scan frame)."""
+        self.state = state
+        self.gbuffers = gbuffers
+        self.aux = aux
+        if self.mode == RendererType.PATH and "path_alive_counts" in aux:
+            self._pending_counts.append(aux["path_alive_counts"])
+        if "trace_overflow" in aux:
+            self._pending_stats.append(
+                (aux["trace_overflow"], aux["trace_retraced"],
+                 aux["trace_unresolved"])
+            )
+        self._metrics["seconds"] += seconds
+        n = self.width * self.height
+        rays = n
+        if self.mode == RendererType.RATIO:
+            rays += self.ratio_samples * n
+        self._metrics["frames"] += 1
+        self._metrics["rays_traced"] += rays
+
     @property
     def metrics(self) -> dict:
         """Observability dict; drains device-side per-bounce counts on

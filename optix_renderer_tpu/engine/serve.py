@@ -248,14 +248,25 @@ class ViewerServer:
         }
 
     def frame_png(self) -> bytes:
+        # snapshot refs under the lock, transfer + encode OUTSIDE it: the
+        # D2H of the accum buffer and the PNG encode are the slow parts
+        # and must not block /control while they run
         with self.lock:
             key = (self.epoch, int(self.r.state.accum_id))
-            if key != self._png_id:
-                img = self.r.image() if key[1] else np.zeros(
-                    (self.r.height, self.r.width, 3), np.float32)
-                self._png = _png_bytes(img)
+            if key == self._png_id:
+                return self._png
+            accum = self.r.state.accum
+        if key[1]:
+            img = np.asarray(accum) / max(key[1], 1)
+        else:
+            img = np.zeros((self.r.height, self.r.width, 3), np.float32)
+        png = _png_bytes(img)
+        with self.lock:
+            # last writer wins; cache only if still current
+            if (self.epoch, int(self.r.state.accum_id)) == key:
+                self._png = png
                 self._png_id = key
-            return self._png
+        return png
 
     def control(self, msg: dict) -> dict:
         op = msg.get("op")
@@ -317,18 +328,33 @@ class ViewerServer:
 
     # -- loops ------------------------------------------------------------
     def _render_loop(self):
+        """Progressive accumulation with the frame computed OUTSIDE the
+        lock: snapshot (epoch, state) -> device step -> sync -> swap
+        under the lock only if no control op raced the frame (stale
+        results are discarded — the next iteration renders from the new
+        state).  /status, /control and /frame.png therefore respond in
+        milliseconds even while a multi-second big-scene frame is in
+        flight; the reference UI never blocks on a frame either
+        (viewer.hpp:553-568 async launch + event loop)."""
         while not self.stop.is_set():
             with self.lock:
+                epoch0 = self.epoch
                 mode = self.r.mode
                 accum_id = int(self.r.state.accum_id)
-                done = (mode in DETERMINISTIC_MODES and accum_id >= 1) or (
-                    self.max_spp and accum_id >= self.max_spp)
-                if not done:
-                    t0 = time.perf_counter()
-                    self.r.render(1)
-                    dt = time.perf_counter() - t0
-                    self._fps = 0.8 * self._fps + 0.2 * (1.0 / max(dt, 1e-9))
-            if done:
+            done = (mode in DETERMINISTIC_MODES and accum_id >= 1) or (
+                self.max_spp and accum_id >= self.max_spp)
+            if not done:
+                t0 = time.perf_counter()
+                state, gb, aux = self.r.render_step_detached()
+                # scalar fetch = real sync (see Renderer.render)
+                float(state.accum[0, 0, 0])
+                dt = time.perf_counter() - t0
+                with self.lock:
+                    if self.epoch == epoch0:
+                        self.r.commit_step(state, gb, aux, dt)
+                        self._fps = 0.8 * self._fps + 0.2 * (1.0 / max(dt, 1e-9))
+                    # else: a camera/mode op landed mid-frame; discard
+            else:
                 self.dirty.wait(timeout=0.25)
                 self.dirty.clear()
 

@@ -14,8 +14,10 @@ viewer.hpp:177); scaling is designed TPU-first here (SURVEY.md §2.4):
   RNG streams match the single-chip renderer **bit-exactly** (SURVEY §4:
   tile-sharded render must be bit-identical to single-chip).
 
-An alternative axis (sharding spp instead of tiles, combining with psum)
-is trivially expressible on top of ``render_tile`` but not needed for v1.
+The alternative axis — sharding spp instead of tiles, combining with a
+``psum`` over the accumulators — is implemented below as
+``make_spp_sharded_frame_fn`` (each chip renders the full frame with a disjoint
+sample-id slice; one collective at the end).
 """
 
 from __future__ import annotations

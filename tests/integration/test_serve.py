@@ -140,3 +140,72 @@ def _mk_cam():
         up=np.array([0.0, 1.0, 0.0], np.float32),
         cos_fovy=0.66,
     )
+
+
+class _SlowFakeRenderer:
+    """Renderer stand-in whose frames take ``frame_s`` seconds (a
+    terrain-class scene): proves the serve loop renders OUTSIDE the lock
+    (round-4 fix) — /status and /control must answer in milliseconds
+    while a frame is in flight, and a camera op mid-frame discards the
+    stale frame instead of committing it."""
+
+    class _State:
+        def __init__(self, accum_id):
+            self.accum = np.zeros((1, 1, 3), np.float32)
+            self.accum_id = accum_id
+
+    def __init__(self, frame_s=1.5):
+        import threading as _t
+
+        self.frame_s = frame_s
+        self.width = self.height = 8
+        self.mode = RendererType.PATH
+        self.state = self._State(0)
+        self.scene = type("S", (), {"cameras": [_mk_cam()]})()
+        self.metrics = {"mrays_per_sec": 0.0}
+        self.commits = 0
+        self.discarded_epochs = []
+        self._lock = _t.Lock()
+
+    def render_step_detached(self):
+        time.sleep(self.frame_s)
+        return self._State(int(self.state.accum_id) + 1), None, {}
+
+    def commit_step(self, state, gb, aux, seconds):
+        self.state = state
+        self.commits += 1
+
+    def set_camera(self, cam):
+        self.state = self._State(0)
+
+    def set_mode(self, mode):
+        self.mode = mode
+        self.state = self._State(0)
+
+    def image(self):
+        return np.zeros((self.height, self.width, 3), np.float32)
+
+
+def test_serve_nonblocking_while_frame_in_flight(tmp_path):
+    r = _SlowFakeRenderer(frame_s=1.5)
+    s = ViewerServer(r, port=0, out_dir=str(tmp_path))
+    s.start()
+    try:
+        time.sleep(0.3)  # a 1.5 s frame is now in flight
+        lat = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            json.loads(_get(s, "/status"))
+            lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = _post(s, {"op": "orbit", "daz": 0.1, "del": 0.0})
+        lat.append(time.perf_counter() - t0)
+        assert out["ok"]
+        # every request answered while the frame was still rendering
+        assert max(lat) < 0.5, lat
+        # the in-flight frame raced the orbit op: it must be DISCARDED
+        # (accum restarts from the new camera, never shows the old one)
+        time.sleep(r.frame_s + 0.5)
+        assert int(s.r.state.accum_id) <= 1
+    finally:
+        s.shutdown()
