@@ -215,20 +215,22 @@ def _tile_bounds(rays: Ray, t_max, n_pad: int, tile: int):
     return o_lo, o_hi, d_lo, d_hi, comp(tmax).max(axis=1)
 
 
-def _tile_slab(box_min, box_max, o_lo, o_hi, d_lo, d_hi, t_hi):
+def _tile_slab(box_comps, o_lo, o_hi, d_lo, d_hi, t_hi):
     """Conservative tile-frustum vs AABB slab test.
 
-    ``box_min/max``: (1, K, 3) shared boxes or (tiles, K, 3) per-tile
-    gathered candidates.  Returns (near, far) of shape (tiles, K); a box
-    overlaps the frustum iff near <= far.
+    ``box_comps``: 6 arrays [min.x, min.y, min.z, max.x, max.y, max.z],
+    each (1, K) shared or (tiles, K) per-tile gathered candidates —
+    componentwise to keep TPU layouts lane-dense (a trailing xyz triple
+    pads 3 -> 128 lanes).  Returns (near, far) of shape (tiles, K); a
+    box overlaps the frustum iff near <= far.
     """
     tiles = o_lo.shape[0]
-    K = box_min.shape[1]
+    K = box_comps[0].shape[1]
     near = jnp.zeros((tiles, K), jnp.float32)
     far = jnp.broadcast_to(t_hi[:, None], near.shape)
     for a in range(3):
-        bmin = box_min[:, :, a]
-        bmax = box_max[:, :, a]
+        bmin = box_comps[a]
+        bmax = box_comps[3 + a]
         n_lo = bmin - o_hi[:, a:a + 1]  # (tiles, K)
         n_hi = bmax - o_lo[:, a:a + 1]
         dl = d_lo[:, a:a + 1]
@@ -333,8 +335,9 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
 
     use_two_level = C > 4096 and C > _SC_CAND * _SC_GROUP
     if not use_two_level:
-        near, far = _tile_slab(
-            cluster_min[None], cluster_max[None], o_lo, o_hi, d_lo, d_hi, t_hi)
+        comps = ([cluster_min[:, a][None, :] for a in range(3)]
+                 + [cluster_max[:, a][None, :] for a in range(3)])
+        near, far = _tile_slab(comps, o_lo, o_hi, d_lo, d_hi, t_hi)
         live = near <= far
         cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], near.shape)
         lists, counts, scale, overflow, near_dropped = _pack_topk_lists(
@@ -349,8 +352,9 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     cmax = jnp.pad(cluster_max, ((0, padc), (0, 0)), constant_values=-_INF)
     sc_min = cmin.reshape(S, G, 3).min(axis=1)  # (S, 3)
     sc_max = cmax.reshape(S, G, 3).max(axis=1)
-    sc_near, sc_far = _tile_slab(
-        sc_min[None], sc_max[None], o_lo, o_hi, d_lo, d_hi, t_hi)
+    sc_comps = ([sc_min[:, a][None, :] for a in range(3)]
+                + [sc_max[:, a][None, :] for a in range(3)])
+    sc_near, sc_far = _tile_slab(sc_comps, o_lo, o_hi, d_lo, d_hi, t_hi)
     sc_live = sc_near <= sc_far
     sb = _cid_bits(S)
     K1 = min(_SC_CAND, S)
@@ -365,20 +369,26 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     slot = jax.lax.broadcasted_iota(jnp.int32, (tiles, K1), 1)
     cand_valid = slot < sc_counts[:, None]       # padded entries excluded
     # candidate cluster ids: supercluster s spans clusters [s*G, (s+1)*G)
-    cand_cid = (sc_ids[:, :, None] * G
-                + jnp.arange(G, dtype=jnp.int32)[None, None, :]
-                ).reshape(tiles, K1 * G)
-    cand_cid = jnp.minimum(cand_cid, C - 1)      # tail-SC padding clusters
-    boxes = jnp.concatenate([cluster_min, cluster_max], axis=1)  # (C, 6)
-    cand_boxes = jnp.take(boxes, cand_cid, axis=0)  # (tiles, K1*G, 6)
-    near, far = _tile_slab(
-        cand_boxes[:, :, 0:3], cand_boxes[:, :, 3:6],
-        o_lo, o_hi, d_lo, d_hi, t_hi)
-    # dedupe the clamped tail duplicates: only the FIRST slot of a
-    # repeated cid stays live (repeat iff same cid as previous slot)
-    first = jnp.concatenate(
-        [jnp.ones((tiles, 1), bool), cand_cid[:, 1:] != cand_cid[:, :-1]], axis=1)
-    live = (near <= far) & jnp.repeat(cand_valid, G, axis=1) & first
+    cand_cid_raw = (sc_ids[:, :, None] * G
+                    + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                    ).reshape(tiles, K1 * G)
+    # candidate boxes via ONE row gather per kept SC (its G clusters are
+    # contiguous): 65k wide-row reads instead of 4.2M per-cluster rows
+    # (measured 16.4 -> 4.5 ms), componentwise for lane-dense layouts
+    box_comps = [
+        jnp.take(cmin[:, a].reshape(S, G), sc_ids, axis=0).reshape(tiles, K1 * G)
+        for a in range(3)
+    ] + [
+        jnp.take(cmax[:, a].reshape(S, G), sc_ids, axis=0).reshape(tiles, K1 * G)
+        for a in range(3)
+    ]
+    near, far = _tile_slab(box_comps, o_lo, o_hi, d_lo, d_hi, t_hi)
+    # tail-SC padding rows carry inverted (+INF/-INF) boxes which do NOT
+    # fail the slab arithmetic — mask them explicitly, and clamp the id
+    # payload so sentinel-slot visits stay in bounds (processing a
+    # clamped duplicate is idempotent under the kernel's key min)
+    live = (near <= far) & jnp.repeat(cand_valid, G, axis=1) & (cand_cid_raw < C)
+    cand_cid = jnp.minimum(cand_cid_raw, C - 1)
     lists, counts, scale, overflow, near_dropped = _pack_topk_lists(
         near, live, cand_cid, cb, max_visits)
 
@@ -875,20 +885,28 @@ def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
     valid = cid >= 0
     tri_sorted = jnp.where(valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
     rows = jnp.take(geom_tab, tri_sorted, axis=0)  # (N, 16)
-    v0 = rows[:, 0:3]
-    e1 = rows[:, 3:6]
-    e2 = rows[:, 6:9]
-    prim = rows[:, 9]
-    o = rays.origin
-    d = rays.direction
-    p = jnp.cross(d, e2)
-    det = jnp.sum(e1 * p, axis=-1)
+    # componentwise MT recompute: (N, 3) operands (jnp.cross) would pad
+    # the trailing triple 3 -> 128 lanes on TPU; column slices stay dense
+    c = lambda j: rows[:, j]
+    v0x, v0y, v0z = c(0), c(1), c(2)
+    e1x, e1y, e1z = c(3), c(4), c(5)
+    e2x, e2y, e2z = c(6), c(7), c(8)
+    prim = c(9)
+    ox, oy, oz = rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2]
+    dx, dy, dz = (rays.direction[:, 0], rays.direction[:, 1],
+                  rays.direction[:, 2])
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
-    tv = o - v0
-    u = jnp.sum(tv * p, axis=-1) * inv
-    q = jnp.cross(tv, e1)
-    v = jnp.sum(d * q, axis=-1) * inv
-    t = jnp.sum(e2 * q, axis=-1) * inv
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
     return Hit(
         t=jnp.where(valid, t, t_eff),
         tri_id=jnp.where(valid, prim.astype(jnp.int32), -1),

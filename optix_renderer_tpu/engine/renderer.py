@@ -194,21 +194,37 @@ def _frames_scan_impl(
     eliminates their computation); callers run one ordinary frame after
     the scan when they need gbuffers/aux.  RNG streams are keyed by the
     carried accum_id, so the result is bit-identical to n separate
-    frames."""
+    frames.
 
-    def step(st, _):
+    RATIO carries its stochastic aux buffers (ltc / sto_direct /
+    sto_no_vis) as on-device accumulators so every frame's shadow
+    samples reach the ratio-combine pipeline (deviceCode.cu:117-144
+    accumulates all buffers, not just the color) — previously RATIO was
+    excluded from the scan and paid ~30-40 ms of tunnel dispatch per
+    frame.  Returns (state, sto_acc dict — SUMS over the n frames —,
+    stacked small aux)."""
+    ratio_keys = {"ltc": 3, "sto_direct": 1, "sto_no_vis": 1}
+
+    def step(carry, _):
+        st, sto = carry
         color, _gb, aux = render_tile(
             st.camera, st.accum_id, ds, bvh, 0,
             mode=mode, width=width, height=height, rows=height,
             path_depth=path_depth, ratio_samples=ratio_samples,
         )
         accum = st.accum + color.reshape(height, width, 3)
+        if mode == RendererType.RATIO:
+            sto = {k: sto[k] + aux[k] for k in sto}
         small = {k: v for k, v in aux.items()
                  if k.startswith("trace_") or k == "path_alive_counts"}
-        return RenderState(accum=accum, accum_id=st.accum_id + 1,
-                           camera=st.camera), small
+        return (RenderState(accum=accum, accum_id=st.accum_id + 1,
+                            camera=st.camera), sto), small
 
-    return jax.lax.scan(step, state, None, length=n)
+    sto0 = ({k: jnp.zeros((height, width, c), jnp.float32)
+             for k, c in ratio_keys.items()}
+            if mode == RendererType.RATIO else {})
+    (state, sto), small = jax.lax.scan(step, (state, sto0), None, length=n)
+    return state, sto, small
 
 
 _frames_scan_jit = jax.jit(
@@ -367,11 +383,13 @@ class Renderer:
         # costs ~40 ms over the tunnel.  The last frame always goes
         # through the ordinary path so gbuffers/aux stay populated.
         scan_ok = (
-            self.mode in GBUFFER_MODES or self.mode == RendererType.PATH
+            self.mode in GBUFFER_MODES
+            or self.mode in (RendererType.PATH, RendererType.RATIO)
         ) and self.mode not in DETERMINISTIC_MODES
         n_scan = n_frames - 1 if scan_ok else 0
+        ratio_acc = None
         if n_scan > 0:
-            self.state, saux = _frames_scan_jit(
+            self.state, ratio_acc, saux = _frames_scan_jit(
                 self.state, self.device_scene, self.bvh,
                 n=n_scan, mode=self.mode, width=self.width,
                 height=self.height, path_depth=self.path_depth,
@@ -400,6 +418,16 @@ class Renderer:
                     (self.aux["trace_overflow"], self.aux["trace_retraced"],
                      self.aux["trace_unresolved"])
                 )
+        if ratio_acc and self.mode == RendererType.RATIO and frames:
+            # merge the scan's accumulated stochastic buffers with the
+            # final ordinary frame's: aux becomes the MEAN over all
+            # frames of this call, so the ratio-combine/denoise pipeline
+            # sees every frame's shadow samples (n_samples * frames per
+            # pixel), matching the reference's accumulation of all
+            # buffers (deviceCode.cu:117-144)
+            self.aux = dict(self.aux)
+            for k, acc in ratio_acc.items():
+                self.aux[k] = (acc + self.aux[k]) / frames
         # scalar fetch = real sync: block_until_ready returns before
         # execution completes on the axon tunnel backend, which would
         # credit the render with enqueue time only

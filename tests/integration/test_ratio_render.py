@@ -83,3 +83,28 @@ def test_denoiser_reduces_noise(tmp_path):
     assert roughness(den) < roughness(noisy) * 0.5
     # energy approximately preserved
     assert abs(den.mean() - noisy.mean()) < 0.15 * abs(noisy.mean()) + 1e-4
+
+
+def test_ratio_scan_accumulates_sto_buffers(tmp_path):
+    """RATIO runs its multi-frame batches inside the lax.scan (round 4):
+    accumulation must stay bit-identical to stepwise rendering, and the
+    aux buffers must become the MEAN over every frame of the call (the
+    reference accumulates all ratio buffers, deviceCode.cu:117-144) —
+    previously only the last frame's 4 shadow samples reached the
+    ratio-combine pipeline."""
+    scene = parse_scene(procedural.write_cornell_scene(str(tmp_path / "c")))
+    a = Renderer(scene, width=32, height=32, mode=RendererType.RATIO)
+    b = Renderer(scene, width=32, height=32, mode=RendererType.RATIO)
+    a.render(4)  # scan(3) + 1 ordinary frame
+    for _ in range(4):
+        b.render(1)
+    np.testing.assert_array_equal(np.asarray(a.state.accum), np.asarray(b.state.accum))
+    # accumulated color in RATIO mode IS the ltc buffer, so the mean ltc
+    # aux must equal the displayed image exactly up to the division
+    np.testing.assert_allclose(
+        np.asarray(a.aux["ltc"]), np.asarray(a.image()), rtol=1e-5, atol=1e-6)
+    # sto buffers are per-frame means; the 4-frame mean has lower variance
+    # but the same scale — sanity: finite, non-black, no_vis >= direct
+    d = np.asarray(a.aux["sto_direct"])
+    n = np.asarray(a.aux["sto_no_vis"])
+    assert np.isfinite(d).all() and (n - d >= -1e-5).all() and d.max() > 0.01
