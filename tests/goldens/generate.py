@@ -40,6 +40,14 @@ MODES = {
     "ltc_direct": (RendererType.LTC_BASELINE, 1),
     "path": (RendererType.PATH, 4),  # deterministic RNG -> reproducible
 }
+# the committed multi-texture/multi-mesh gallery (scenes/gallery — the
+# Model.cpp:164-242 loader workload: 4 textures, 34 meshes, 3 lights)
+GALLERY_MODES = {
+    "gallery_diffuse": (RendererType.DIFFUSE, 1),  # texture sampling path
+    "gallery_ltc": (RendererType.LTC_BASELINE, 1),  # 3-light analytic
+    "gallery_path": (RendererType.PATH, 2),
+}
+GALLERY_DIR = os.path.join(HERE, "..", "..", "scenes", "gallery")
 
 
 def render_all(scene_dir: str, only=None):
@@ -57,10 +65,23 @@ def render_all(scene_dir: str, only=None):
     return out
 
 
+def render_gallery(only=None):
+    scene = parse_scene(os.path.join(GALLERY_DIR, "scene.json"))
+    out = {}
+    for name, (mode, spp) in GALLERY_MODES.items():
+        if only is not None and name not in only:
+            continue
+        r = Renderer(scene, width=SIZE, height=SIZE, mode=mode, path_depth=4)
+        r.render(spp)
+        out[name] = r.image().astype(np.float32)
+    return out
+
+
 if __name__ == "__main__":
     import tempfile
 
     imgs = render_all(tempfile.mkdtemp())
+    imgs.update(render_gallery())
     for name, img in imgs.items():
         np.save(os.path.join(HERE, f"{name}.npy"), img)
         print(f"golden {name}: mean={img.mean():.5f}")

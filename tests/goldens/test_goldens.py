@@ -14,7 +14,7 @@ import os
 import numpy as np
 import pytest
 
-from tests.goldens.generate import MODES, SIZE, render_all
+from tests.goldens.generate import GALLERY_MODES, MODES, SIZE, render_all, render_gallery
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 _FAST = ("mask", "normal", "ltc_direct")
@@ -22,10 +22,13 @@ _CACHE: dict = {}
 
 
 def _render_one(name, tmp_path_factory):
-    if not _CACHE:
+    if "scene_dir" not in _CACHE:
         _CACHE["scene_dir"] = str(tmp_path_factory.mktemp("golden_scene"))
     if name not in _CACHE:
-        _CACHE[name] = render_all(_CACHE["scene_dir"], only=[name])[name]
+        if name in GALLERY_MODES:
+            _CACHE[name] = render_gallery(only=[name])[name]
+        else:
+            _CACHE[name] = render_all(_CACHE["scene_dir"], only=[name])[name]
     return _CACHE[name]
 
 
@@ -48,4 +51,12 @@ def test_golden(name, tmp_path_factory):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(set(MODES) - set(_FAST)))
 def test_golden_full(name, tmp_path_factory):
+    _check(name, _render_one(name, tmp_path_factory))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(GALLERY_MODES))
+def test_golden_gallery(name, tmp_path_factory):
+    """Textured multi-mesh gallery regression (scenes/gallery — the
+    Model.cpp:164-242 loader workload rendered end-to-end)."""
     _check(name, _render_one(name, tmp_path_factory))
