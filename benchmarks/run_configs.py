@@ -1,7 +1,22 @@
-"""Measure the five BASELINE.json staged configs on the current backend.
+"""Measure the BASELINE.json staged configs on the current backend.
 
 Writes benchmarks/RESULTS.json and prints a markdown table.  Run on the
 TPU (default env) for the recorded numbers; CPU works for smoke.
+
+Timing convention (one for the whole suite — utils/timing.py): every
+per-frame figure is recorded BOTH ways,
+  * ``cold_ms``      — one dispatch + one scalar-fetch sync (what an
+                        interactive single frame pays, including the
+                        ~25-35 ms axon-tunnel sync floor), and
+  * ``amortized_ms`` — N chained dispatches, one sync (what a frame
+                        loop pays per frame).
+Headline Mrays/s figures use the amortized time.  ``jax.block_until_
+ready`` is never used for timing: it returns before execution completes
+on this backend (see utils/timing.py docstring).
+
+Multi-second configs (2/3/6) time one warm ``Renderer.render(spp)``
+call, which already ends with a scalar-fetch sync; the tunnel floor is
+noise at that scale.
 
 Usage: python benchmarks/run_configs.py [--quick]
 """
@@ -21,36 +36,45 @@ from optix_renderer_tpu.engine.modes import RendererType  # noqa: E402
 from optix_renderer_tpu.engine.renderer import Renderer  # noqa: E402
 from optix_renderer_tpu.scene import procedural  # noqa: E402
 from optix_renderer_tpu.scene.config import parse_scene  # noqa: E402
+from optix_renderer_tpu.utils.timing import timeit  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 QUICK = "--quick" in sys.argv
 
 
+def time_frame(r: Renderer, iters: int = 8):
+    """cold/amortized seconds for ONE progressive frame of ``r``.
+
+    Chains ``r._frame`` (donation rebinds the state each call) and syncs
+    by fetching one scalar of the accumulator — the repo-wide convention
+    (utils/timing.py).
+    """
+    box = {"s": r.state}
+
+    def step():
+        s, _gb, _aux = r._frame(box["s"], r.device_scene, r.bvh)
+        box["s"] = s
+        return s.accum
+
+    res, _ = timeit(step, iters=iters)
+    return res
+
+
 def timed_render(scene, mode, spp, size, depth=4, **kw):
+    """Warm `render(spp)` + time a second identical call (self-syncing)."""
     r = Renderer(scene, width=size, height=size, mode=mode, path_depth=depth, **kw)
-    if mode in (RendererType.LTC_BASELINE, RendererType.MASK, RendererType.NORMALS):
-        r.render(1)  # compile + warmup
-        m0 = dict(r.metrics)
-        # deterministic: time fresh single frames
-        r.set_camera(r.scene.cameras[0])
-        t0 = time.perf_counter()
-        r.render(1)
-        dt = time.perf_counter() - t0
-        frames = 1
-    else:
-        # warm the SAME call shape the timed window uses: render(spp)
-        # compiles a multi-frame lax.scan that render(1) never touches
-        r.render(spp)
-        r.set_camera(r.scene.cameras[0])
-        m0 = dict(r.metrics)
-        t0 = time.perf_counter()
-        r.render(spp)
-        dt = time.perf_counter() - t0
-        frames = spp
+    # warm the SAME call shape the timed window uses: render(spp)
+    # compiles a multi-frame lax.scan that render(1) never touches
+    r.render(spp)
+    r.set_camera(r.scene.cameras[0])
+    m0 = dict(r.metrics)
+    t0 = time.perf_counter()
+    r.render(spp)
+    dt = time.perf_counter() - t0
     m1 = dict(r.metrics)
     rays = m1["rays_traced"] - m0["rays_traced"]
     m = {"mrays_per_sec": rays / dt / 1e6, "rays_traced": rays}
-    return r, dt, frames, m
+    return r, dt, spp, m
 
 
 def main():
@@ -59,24 +83,15 @@ def main():
     cornell = parse_scene(os.path.join(HERE, "..", "scenes", "cornell", "scene.json"))
     cornell3 = parse_scene(os.path.join(HERE, "..", "scenes", "cornell3", "scene.json"))
 
-    # config 1: Cornell 512^2 1spp LTC-direct (deterministic).  Amortize
-    # over raw frame calls: a single blocking render pays the full host<->
-    # device round-trip (~100 ms over the axon tunnel), which local chips
-    # don't see.
+    # config 1: Cornell 512^2 1spp LTC-direct (deterministic)
     size = 128 if QUICK else 512
     r = Renderer(cornell, width=size, height=size, mode=RendererType.LTC_BASELINE)
-    r.render(1)
-    state = r.state
-    t0 = time.perf_counter()
-    iters = 8
-    for _ in range(iters):
-        state, _, _ = r._frame(state, r.device_scene, r.bvh)
-    jax.block_until_ready(state.accum)
-    dt = (time.perf_counter() - t0) / iters
+    res = time_frame(r)
     results.append({
         "config": f"1: LTC analytic direct, Cornell {size}^2 (deterministic)",
-        "frame_ms": round(dt * 1e3, 1),
-        "mrays_per_sec": round(size * size / dt / 1e6, 2),
+        "cold_ms": round(res["cold_s"] * 1e3, 1),
+        "amortized_ms": round(res["amortized_s"] * 1e3, 1),
+        "mrays_per_sec": round(size * size / res["amortized_s"] / 1e6, 2),
     })
 
     # config 2: Cornell 4-bounce GGX path tracing, 64 spp
@@ -116,16 +131,11 @@ def main():
 
     args4 = (jnp.asarray(r.aux["sto_direct"]), jnp.asarray(r.aux["sto_no_vis"]),
              jnp.asarray(r.aux["ltc"]), gb.normal, gb.position)
-    fin = pipeline(*args4)
-    jax.block_until_ready(fin)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        fin = pipeline(*args4)
-    jax.block_until_ready(fin)
-    dt = (time.perf_counter() - t0) / 8
+    res, _ = timeit(pipeline, *args4, iters=8)
     results.append({
         "config": f"4: g-buffer guided denoise x2 + ratio combine, {size}^2",
-        "ms": round(dt * 1e3, 1),
+        "cold_ms": round(res["cold_s"] * 1e3, 1),
+        "amortized_ms": round(res["amortized_s"] * 1e3, 1),
     })
 
     # config 5: Sponza-class terrain (clustered tier)
@@ -140,25 +150,45 @@ def main():
     t0 = time.perf_counter()
     r5 = Renderer(terrain, width=size, height=size, mode=RendererType.NORMALS)
     t_build = time.perf_counter() - t0
-    r5.render(1)
-    r5.set_camera(terrain.cameras[0])
-    t0 = time.perf_counter()
-    r5.render(1)
-    dt = time.perf_counter() - t0
+    res = time_frame(r5)
     results.append({
         "config": f"5: terrain {r5.device_scene.num_tris} tris, primary g-buffer {size}^2",
         "load_s": round(t_load, 1),
         "build_s": round(t_build, 1),
-        "frame_ms": round(dt * 1e3, 1),
-        "mrays_per_sec": round(size * size / dt / 1e6, 2),
+        "cold_ms": round(res["cold_s"] * 1e3, 1),
+        "amortized_ms": round(res["amortized_s"] * 1e3, 1),
+        "mrays_per_sec": round(size * size / res["amortized_s"] / 1e6, 2),
     })
 
-    out = {"device": dev, "results": results}
+    # config 6: committed multi-texture gallery (Model.cpp:164-242 loader
+    # workload) — texture-path perf, PATH + analytic LTC
+    gallery = parse_scene(os.path.join(HERE, "..", "scenes", "gallery", "scene.json"))
+    size = 96 if QUICK else 512
+    spp = 2 if QUICK else 16
+    r6, dt, frames, m = timed_render(gallery, RendererType.PATH, spp, size, depth=4)
+    row = {
+        "config": f"6: gallery {r6.device_scene.num_tris} tris (4 textures, "
+                  f"{len(gallery.model.meshes)} meshes), PATH {size}^2 x {spp}spp",
+        "seconds": round(dt, 2),
+        "spp_per_sec": round(frames / dt, 2),
+        "mrays_per_sec": round(m.get("mrays_per_sec", 0.0), 1),
+    }
+    r6l = Renderer(gallery, width=size, height=size, mode=RendererType.LTC_BASELINE)
+    res = time_frame(r6l)
+    row["ltc_cold_ms"] = round(res["cold_s"] * 1e3, 1)
+    row["ltc_amortized_ms"] = round(res["amortized_s"] * 1e3, 1)
+    results.append(row)
+
+    out = {"device": dev, "results": results,
+           "convention": "cold = 1 dispatch + scalar-fetch sync (tunnel floor included); "
+                         "amortized = 8 chained dispatches, one sync; multi-second rows "
+                         "time one warm self-syncing render(spp) call"}
     path = os.path.join(HERE, "RESULTS.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"\n## BASELINE configs on {dev}\n")
     for row in results:
+        row = dict(row)
         cfg = row.pop("config")
         print(f"- **{cfg}** — " + ", ".join(f"{k}={v}" for k, v in row.items()))
     print(f"\nwritten to {path}")
