@@ -100,6 +100,40 @@ def _masked_polygon_integral(verts: jnp.ndarray, vc: jnp.ndarray) -> jnp.ndarray
     return jnp.abs(total)
 
 
+def _integrate_edge_z(ax, ay, az, bx, by, bz):
+    """z-component of ``integrate_edge_vec`` (the only one the polygon
+    integral reads), componentwise: cross_z(a, b) * theta/sin(theta)."""
+    x = ax * bx + ay * by + az * bz
+    y = jnp.abs(x)
+    a = 0.8543985 + (0.4965155 + 0.0145206 * y) * y
+    b = 3.4175940 + (4.1616724 + y) * y
+    v = a / b
+    neg = 0.5 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-7)) - v
+    theta_sintheta = jnp.where(x > 0.0, v, neg)
+    return (ax * by - ay * bx) * theta_sintheta
+
+
+def _masked_polygon_integral_c(px, py, pz, vc):
+    """Componentwise :func:`_masked_polygon_integral` over slot lists."""
+    total = jnp.zeros_like(px[0])
+    for j in range(5):
+        wrap = j == vc - 1
+        k = min(j + 1, 4)
+        nx = jnp.where(wrap, px[0], px[k])
+        ny = jnp.where(wrap, py[0], py[k])
+        nz = jnp.where(wrap, pz[0], pz[k])
+        contrib = _integrate_edge_z(px[j], py[j], pz[j], nx, ny, nz)
+        total = total + jnp.where(j < vc, contrib, 0.0)
+    return jnp.abs(total)
+
+
+def _norm3c(x, y, z, eps=1e-30):
+    """Componentwise ``cm.normalize(..., eps)`` -> (x, y, z) tuple."""
+    n2 = x * x + y * y + z * z
+    inv = jnp.where(n2 > eps, jnp.sqrt(jnp.maximum(n2, 1e-38)), 1.0)
+    return x / inv, y / inv, z / inv
+
+
 def integrate_over_polygon(
     p: jnp.ndarray,  # (R, 3) shading points
     diffuse: jnp.ndarray,  # (R, 3)
@@ -113,51 +147,78 @@ def integrate_over_polygon(
     light_normal: jnp.ndarray,  # (L, 3)
     light_emit: jnp.ndarray,  # (L, 3)
 ) -> jnp.ndarray:
-    """Summed LTC radiance over all lights (ltc_utils.cuh:47-127), (R, 3)."""
-    # translate to origin + normalize: (R, L, 3)
-    lv1 = cm.normalize(light_v1[None] - p[:, None], eps=1e-30)
-    lv2 = cm.normalize(light_v2[None] - p[:, None], eps=1e-30)
-    lv3 = cm.normalize(light_v3[None] - p[:, None], eps=1e-30)
+    """Summed LTC radiance over all lights (ltc_utils.cuh:47-127), (R, 3).
 
-    cg = cm.normalize(lv1 + lv2 + lv3, eps=1e-30)
-    facing = cm.dot(-cg, light_normal[None]) >= 0.0  # backface cull :62-64
+    Layout: every intermediate is a SEPARATE (L, R) array per vector
+    component — rays on the minor (lane) axis, lights/slots as cheap
+    leading axes.  The previous (R, L, 5, 3)-shaped pipeline padded the
+    trailing triple 3 -> 128 TPU lanes (~42x VPU waste; measured 6.9 ms
+    for the whole LTC frame stage at 512^2 x 2 lights — this layout is
+    the fix, same arithmetic).
+    """
+    from .polygon_clip import clip_polygon_c
 
-    def xform(m, v):  # m: (R,3,3), v: (R,L,3) — explicit madds, not einsum
-        x, y, z = v[..., 0], v[..., 1], v[..., 2]
-        out = jnp.stack(
-            [
-                m[:, None, i, 0] * x + m[:, None, i, 1] * y + m[:, None, i, 2] * z
-                for i in range(3)
-            ],
-            axis=-1,
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]  # (R,)
+
+    def translate(lv):  # (L, 3) light corner -> normalized (L, R) comps
+        tx = lv[:, 0][:, None] - px[None, :]
+        ty = lv[:, 1][:, None] - py[None, :]
+        tz = lv[:, 2][:, None] - pz[None, :]
+        return _norm3c(tx, ty, tz)
+
+    l1 = translate(light_v1)
+    l2 = translate(light_v2)
+    l3 = translate(light_v3)
+
+    cgx, cgy, cgz = _norm3c(
+        l1[0] + l2[0] + l3[0], l1[1] + l2[1] + l3[1], l1[2] + l2[2] + l3[2]
+    )
+    lnx, lny, lnz = (light_normal[:, a][:, None] for a in range(3))
+    facing = -(cgx * lnx + cgy * lny + cgz * lnz) >= 0.0  # backface :62-64
+
+    def xform(m, v):  # m: (R, 3, 3) per-ray matrix, v: (L, R) comps
+        x, y, z = v
+        mr = lambda i, j: m[:, i, j][None, :]
+        return _norm3c(
+            mr(0, 0) * x + mr(0, 1) * y + mr(0, 2) * z,
+            mr(1, 0) * x + mr(1, 1) * y + mr(1, 2) * z,
+            mr(2, 0) * x + mr(2, 1) * y + mr(2, 2) * z,
         )
-        return cm.normalize(out, eps=1e-30)
 
-    lv1 = xform(iso_frame, xform(to_local, lv1))
-    lv2 = xform(iso_frame, xform(to_local, lv2))
-    lv3 = xform(iso_frame, xform(to_local, lv3))
+    l1 = xform(iso_frame, xform(to_local, l1))
+    l2 = xform(iso_frame, xform(to_local, l2))
+    l3 = xform(iso_frame, xform(to_local, l3))
 
-    # first clip: the cosine (diffuse) polygon
-    diff_poly = jnp.stack([lv1, lv2, lv3, lv1, lv1], axis=-2)  # (R, L, 5, 3)
-    diff_clipped, dvc = clip_polygon(diff_poly, jnp.full(diff_poly.shape[:-2], 3, jnp.int32))
-    diffuse_shading = _masked_polygon_integral(diff_clipped, dvc)
+    # first clip: the cosine (diffuse) polygon (slots [v1 v2 v3 v1 v1])
+    slots = lambda a, b, c: [a, b, c, a, a]
+    vc0 = jnp.full(l1[0].shape, 3, jnp.int32)
+    dx, dy, dz, dvc = clip_polygon_c(
+        slots(l1[0], l2[0], l3[0]), slots(l1[1], l2[1], l3[1]),
+        slots(l1[2], l2[2], l3[2]), vc0,
+    )
+    diffuse_shading = _masked_polygon_integral_c(dx, dy, dz, dvc)  # (L, R)
 
     # second clip: LTC-transformed *original* triangle, but with the first
     # clip's vertex count — exactly the reference's (quirky) sequence
     # ltc_utils.cuh:94-101.
-    t1 = xform(ltc_mat_inv, lv1)
-    t2 = xform(ltc_mat_inv, lv2)
-    t3 = xform(ltc_mat_inv, lv3)
-    ltc_poly = jnp.stack([t1, t2, t3, t1, t1], axis=-2)
-    ltc_clipped, lvc = clip_polygon(ltc_poly, dvc)
-    ggx_shading = _masked_polygon_integral(ltc_clipped, lvc)
-
-    color = (
-        diffuse[:, None, :] * light_emit[None] * diffuse_shading[..., None]
-        + amplitude[:, None, None] * light_emit[None] * ggx_shading[..., None]
+    t1 = xform(ltc_mat_inv, l1)
+    t2 = xform(ltc_mat_inv, l2)
+    t3 = xform(ltc_mat_inv, l3)
+    gx, gy, gz, lvc = clip_polygon_c(
+        slots(t1[0], t2[0], t3[0]), slots(t1[1], t2[1], t3[1]),
+        slots(t1[2], t2[2], t3[2]), dvc,
     )
-    color = jnp.where(facing[..., None], color, 0.0)
-    return jnp.sum(color, axis=1)
+    ggx_shading = _masked_polygon_integral_c(gx, gy, gz, lvc)  # (L, R)
+
+    diffuse_shading = jnp.where(facing, diffuse_shading, 0.0)
+    ggx_shading = jnp.where(facing, ggx_shading, 0.0)
+    amp = amplitude[None, :]  # (1, R)
+    out = []
+    for a in range(3):
+        e = light_emit[:, a][:, None]  # (L, 1)
+        ch = (diffuse[:, a][None, :] * diffuse_shading + amp * ggx_shading) * e
+        out.append(jnp.sum(ch, axis=0))  # (R,)
+    return jnp.stack(out, axis=-1)
 
 
 def iso_frame_from_wo_local(wo_local: jnp.ndarray) -> jnp.ndarray:

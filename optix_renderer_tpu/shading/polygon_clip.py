@@ -92,6 +92,10 @@ B_TABLE = _B
 CASE_TABLE = np.concatenate(
     [_VC[:, None], _OP, _A, _B], axis=1
 ).astype(np.float32)
+# transposed (16, 128) for the componentwise core: the matmul output is
+# (16, N) with the BATCH minor — N stays dense on the 128 TPU lanes
+# instead of padding a 16-wide trailing dim to 128
+CASE_TABLE_T = CASE_TABLE.T.copy()
 
 
 def iz0(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -108,6 +112,69 @@ def iz0(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy, jnp.zeros_like(lz)[..., None]], axis=-1)
 
 
+def _iz0_c(lx, ly, lz, rx, ry, rz):
+    """Componentwise ``iz0``: z of the result is identically 0."""
+    den = lz - rz
+    lerp = lz / jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    x = lerp * rx + (-lerp * lx + lx)
+    y = lerp * ry + (-lerp * ly + ly)
+    n = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30))
+    return x / n, y / n
+
+
+def clip_polygon_c(vx, vy, vz, vcount):
+    """Componentwise clip core: the hot layout for TPU.
+
+    ``vx``/``vy``/``vz`` are length-5 lists of same-shape batch arrays
+    (one per vertex slot, components separate — a trailing (5, 3) axis
+    pair would pad 3 -> 128 lanes on TPU and waste ~42x of the VPU).
+    Returns ``(ox, oy, oz, vc)`` with the same list-of-5 structure.
+    Contract identical to :func:`clip_polygon`.
+    """
+    b = vcount * 0  # broadcast helper in the batch shape/dtype
+    bits = (
+        jnp.where(vz[0] > 0.0, 8, b)
+        | jnp.where(vz[1] > 0.0, 16, b)
+        | jnp.where((vz[2] > 0.0), 32, b)
+        | jnp.where((vz[3] > 0.0) & (vcount == 4), 64, b)
+    )
+    mask = jnp.clip(vcount + bits, 0, 127)
+
+    # case-row fetch: one one-hot MXU matmul.  bf16 is EXACT here (0/1
+    # one-hot x integer table values < 128).  The (128, N) one-hot and
+    # (16, N) output keep the BATCH on the minor axis — dense lanes.
+    flat = mask.reshape(-1)
+    onehot = (jnp.arange(128, dtype=jnp.int32)[:, None] == flat[None, :]).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        jnp.asarray(CASE_TABLE_T, jnp.bfloat16), onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, N)
+    r = lambda j: rows[j].astype(jnp.int32).reshape(mask.shape)
+    vc = r(0)
+
+    def sel5(idx):  # select vertex slot idx (per lane) -> components
+        x, y, z = vx[0], vy[0], vz[0]
+        for k in range(1, 5):
+            m = idx == k
+            x = jnp.where(m, vx[k], x)
+            y = jnp.where(m, vy[k], y)
+            z = jnp.where(m, vz[k], z)
+        return x, y, z
+
+    ox, oy, oz = [], [], []
+    for o in range(5):
+        op, a, bb = r(1 + o), r(6 + o), r(11 + o)
+        ax, ay, az = sel5(a)
+        bx, by, bz = sel5(bb)
+        zx, zy = _iz0_c(ax, ay, az, bx, by, bz)
+        is_iz = op == _IZ0
+        ox.append(jnp.where(is_iz, zx, ax))
+        oy.append(jnp.where(is_iz, zy, ay))
+        oz.append(jnp.where(is_iz, 0.0, az))
+    return ox, oy, oz, vc
+
+
 def clip_polygon(verts: jnp.ndarray, vcount: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Clip polygons to z >= 0.
 
@@ -115,47 +182,15 @@ def clip_polygon(verts: jnp.ndarray, vcount: jnp.ndarray) -> tuple[jnp.ndarray, 
     inputs below 5 vertices (as the reference's callers arrange,
     ltc_utils.cuh:77/100). vcount: (...,) int32 in {0, 3, 4}.
     Returns (clipped (..., 5, 3), new_count (...,)).
+
+    Thin pack/unpack wrapper over :func:`clip_polygon_c` (the layout the
+    hot paths use), so the oracle tests validate the real core.
     """
-    above = verts[..., :4, 2] > 0.0  # (..., 4)
-    bits = (
-        above[..., 0].astype(jnp.int32) * 8
-        + above[..., 1].astype(jnp.int32) * 16
-        + above[..., 2].astype(jnp.int32) * 32
-        + (above[..., 3] & (vcount == 4)).astype(jnp.int32) * 64
+    vx = [verts[..., j, 0] for j in range(5)]
+    vy = [verts[..., j, 1] for j in range(5)]
+    vz = [verts[..., j, 2] for j in range(5)]
+    ox, oy, oz, vc = clip_polygon_c(vx, vy, vz, vcount)
+    out = jnp.stack(
+        [jnp.stack([ox[j], oy[j], oz[j]], axis=-1) for j in range(5)], axis=-2
     )
-    mask = jnp.clip(vcount + bits, 0, 127)
-
-    # case-row fetch: one-hot matmul (exact-precision; values < 128 are
-    # exact in f32), then slot selection via one-hot over the 5 vertex
-    # slots — zero per-lane gathers anywhere in the clip
-    # bf16 single-pass matmul is EXACT here: the one-hot is 0/1 and every
-    # CASE_TABLE value is an integer < 128 (8 mantissa bits suffice), so
-    # skip the 3-pass f32 HIGHEST decomposition and halve the one-hot's
-    # memory traffic
-    onehot = (mask[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.bfloat16)
-    rows = jax.lax.dot_general(
-        onehot.reshape(-1, 128), jnp.asarray(CASE_TABLE, jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(mask.shape + (16,))
-    vc = rows[..., 0].astype(jnp.int32)
-    op = rows[..., 1:6].astype(jnp.int32)  # (..., 5)
-    a = rows[..., 6:11].astype(jnp.int32)
-    b = rows[..., 11:16].astype(jnp.int32)
-
-    def sel5(idx):
-        # verts[..., idx[..., o], :] as a chain of static-slice selects —
-        # neither a gather nor a tiny batched einsum survives TPU lowering
-        outs = []
-        for o in range(5):
-            io = idx[..., o]
-            v = verts[..., 0, :]
-            for k in range(1, 5):
-                v = jnp.where((io == k)[..., None], verts[..., k, :], v)
-            outs.append(v)
-        return jnp.stack(outs, axis=-2)
-
-    va = sel5(a)  # (..., 5, 3)
-    vb = sel5(b)
-    out = jnp.where((op == _IZ0)[..., None], iz0(va, vb), va)
     return out, vc
