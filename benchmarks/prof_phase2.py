@@ -91,8 +91,8 @@ def main():
     key, cid = outs
 
     decode = jax.jit(lambda k, c: pc._decode_hits(k, c, bvh.geom_tab, rays, t_eff, n))
-    res, (hit, rows) = timeit(decode, key, cid)
-    print(f"_decode_hits (merged row gather (N,{bvh.geom_tab.shape[1]}) + MT): "
+    res, hit = timeit(decode, key, cid)
+    print(f"_decode_hits (row gather (N,{bvh.geom_tab.shape[1]}) + MT): "
           f"{res['amortized_s']*1e3:.2f} ms")
 
     # componentwise variant of the decode gather
@@ -104,23 +104,21 @@ def main():
         return jnp.take(bvh.geom_tab, idx, axis=0)
 
     res, _ = timeit(gather_row, tri_sorted)
-    print(f"  row gather (N,16) alone: {res['amortized_s']*1e3:.2f} ms")
+    print(f"  geom row gather (N,{bvh.geom_tab.shape[1]}) alone: {res['amortized_s']*1e3:.2f} ms")
+
+    # SI build (attr row gather + mesh one-hot) alone
+    si_fn = jax.jit(lambda h: shlib.build_surface_interaction_from_cluster(
+        r.device_scene, rays, h, bvh.attr_tab))
+    res, _ = timeit(si_fn, hit)
+    print(f"build_SI_from_cluster (attr (N,{bvh.attr_tab.shape[1]}) gather + mesh one-hot): "
+          f"{res['amortized_s']*1e3:.2f} ms")
 
     @jax.jit
-    def gather_cols(idx):
-        return [jnp.take(bvh.geom_tab[:, j], idx) for j in range(10)]
+    def gather_attr_row(idx):
+        return jnp.take(bvh.attr_tab, idx, axis=0)
 
-    res, _ = timeit(gather_cols, tri_sorted)
-    print(f"  10x column gathers (N,) alone: {res['amortized_s']*1e3:.2f} ms")
-
-    # SI build alone (no per-ray gather anymore: rows come from the trace)
-    from optix_renderer_tpu.accel.build import GEOM_ATTR_OFF
-    arows = rows[:, GEOM_ATTR_OFF:GEOM_ATTR_OFF + 17]
-    si_fn = jax.jit(lambda h, a: shlib.build_surface_interaction_from_cluster(
-        r.device_scene, rays, h, a))
-    res, _ = timeit(si_fn, hit, arows)
-    print(f"build_SI_from_cluster (pre-gathered rows + mesh one-hot): "
-          f"{res['amortized_s']*1e3:.2f} ms")
+    res, _ = timeit(gather_attr_row, jnp.maximum(hit.tri_id, 0))
+    print(f"  attr row gather alone: {res['amortized_s']*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -63,18 +63,18 @@ class BVH:
     # kernels (accel.pallas_trace.pack_tri_table layout)
     cluster_min: jnp.ndarray  # (C, 3) f32 cluster AABBs (big-scene tier)
     cluster_max: jnp.ndarray  # (C, 3) f32
-    geom_tab: jnp.ndarray  # (Tpad, GEOM_COLS) f32 rows in SORTED (Morton)
-    # order: cols 0-15 = [v0 e1 e2 prim ...] (pack_tri_table layout), cols
-    # 16-32 = shading attributes [n1(3) n2(3) n3(3) uv1(2) uv2(2) uv3(2)
-    # mesh_id(1) area(1)].  The cluster tier's post-trace decode gathers
-    # the winning triangle's ROW ONCE by sorted id: exact (t, u, v) are
-    # recomputed from the geometry half and the attribute half feeds
-    # SurfaceInteraction directly (replacing the reference's SBT record
-    # fetch + barycentric inputs, hit_miss.cuh:14-50).  ONE merged row
-    # gather instead of separate geom (N,16) + attr (N,24) gathers: the
-    # gather cost is per-ROW latency, not bytes (measured 40 + 46 ms vs
-    # ~48 ms merged per 1M rays on v5e).  Aliases tri_tab (16 cols) on
-    # the small-scene tier, where the decode path is never taken.
+    geom_tab: jnp.ndarray  # (Tpad, 16) f32 flat [v0 e1 e2 prim ...] rows in
+    # SORTED (Morton) order: the cluster tier's post-trace decode gathers
+    # the winning triangle's geometry by sorted id and recomputes exact
+    # (t, u, v) — the kernel itself only tracks a packed (quantized t |
+    # local id) min-key.  Aliases tri_tab on the small-scene tier (same
+    # layout).
+    attr_tab: jnp.ndarray  # (T, ATTR_COLS) f32 per-triangle shading
+    # attributes in ORIGINAL tri order: [n1(3) n2(3) n3(3) uv1(2) uv2(2)
+    # uv3(2) mesh_id(1) area(1) pad] — the cluster tier's post-trace
+    # attribute source (one packed row gather by tri_id replaces both the
+    # reference's SBT record fetch and barycentric attribute interpolation
+    # inputs, hit_miss.cuh:14-50); (1, ATTR_COLS) dummy on the brute tier
 
     @property
     def num_nodes(self) -> int:
@@ -169,9 +169,7 @@ def _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size):
 
 
 CLUSTER_SIZE = 64  # triangles per cluster (big-scene Pallas tier)
-ATTR_COLS = 24  # pack_attr_tab row width (17 used)
-GEOM_COLS = 40  # merged geom_tab row width: 16 geometry + 17 attrs + pad
-GEOM_ATTR_OFF = 16  # first attribute column inside a merged geom_tab row
+ATTR_COLS = 24  # attr_tab row width (17 used, padded for aligned gathers)
 
 
 def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
@@ -199,14 +197,13 @@ def build_bvh(
     """Build from (T, 3, 3) float32 triangle vertices.
 
     ``tri_attr`` is the (T, ATTR_COLS) per-triangle attribute table (see
-    pack_attr_tab) in ORIGINAL triangle order, merged into the sorted
-    ``geom_tab`` rows; when absent on a big scene a flat-shaded default is
+    BVH.attr_tab / pack_attr_tab) in ORIGINAL triangle order, stored
+    untouched; when absent on a big scene a flat-shaded default is
     synthesized from ``tri_normal``/``tri_mesh`` (geometry-only builds,
     e.g. traversal tests).  ``tri_normal``/``tri_mesh`` also ride the
     packed triangle table for the brute tier.
     """
-    from .pallas_trace import (TRI_SUB, _pack_tri_table_np, pack_tri_table,
-                               pack_tri_table_grouped)
+    from .pallas_trace import TRI_SUB, pack_tri_table, pack_tri_table_grouped
 
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
@@ -266,35 +263,33 @@ def build_bvh(
         tri_tab = pack_tri_table_grouped(
             v0, e1, e2, order, cluster_min=cmin, cluster_max=cmax, **tab_kwargs
         )
-        # merged geometry + attribute rows, SORTED order (see BVH.geom_tab)
-        if tri_attr is not None:
-            attr_np = np.asarray(tri_attr, np.float32)
-            assert attr_np.shape == (T, ATTR_COLS)
-        else:
-            # geometry-only default: flat representative normals, zero uv
-            rep = (np.zeros((T, 3), np.float32) if tri_normal is None
-                   else np.asarray(tri_normal, np.float32))
-            mesh = (np.zeros(T, np.int32) if tri_mesh is None
-                    else np.asarray(tri_mesh))
-            v0o = tri_verts[:, 0]
-            orig_area = 0.5 * np.linalg.norm(
-                np.cross(tri_verts[:, 1] - v0o, tri_verts[:, 2] - v0o), axis=-1
-            )
-            attr_np = pack_attr_tab(
-                np.repeat(rep[:, None, :], 3, axis=1),
-                np.zeros((T, 3, 2), np.float32), mesh, orig_area,
-            )
-        geom16 = _pack_tri_table_np(v0, e1, e2, order, pad_to=TRI_SUB)
-        merged = np.zeros((geom16.shape[0], GEOM_COLS), np.float32)
-        merged[:, :16] = geom16
-        merged[:T, GEOM_ATTR_OFF:GEOM_ATTR_OFF + 17] = attr_np[order][:, :17]
-        geom_tab = jnp.asarray(merged)
+        geom_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB)
     else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
         geom_tab = tri_tab  # same flat layout: alias, no extra memory
+    if T <= 4096:
+        attr_tab = np.zeros((1, ATTR_COLS), np.float32)
+    elif tri_attr is not None:
+        attr_tab = np.asarray(tri_attr, np.float32)
+        assert attr_tab.shape == (T, ATTR_COLS)
+    else:
+        # geometry-only default: flat representative normals, zero uv
+        rep = (np.zeros((T, 3), np.float32) if tri_normal is None
+               else np.asarray(tri_normal, np.float32))
+        mesh = (np.zeros(T, np.int32) if tri_mesh is None
+                else np.asarray(tri_mesh))
+        v0o = tri_verts[:, 0]
+        orig_area = 0.5 * np.linalg.norm(
+            np.cross(tri_verts[:, 1] - v0o, tri_verts[:, 2] - v0o), axis=-1
+        )
+        attr_tab = pack_attr_tab(
+            np.repeat(rep[:, None, :], 3, axis=1),
+            np.zeros((T, 3, 2), np.float32), mesh, orig_area,
+        )
     return BVH(
         tri_tab=tri_tab,
         geom_tab=geom_tab,
+        attr_tab=jnp.asarray(attr_tab),
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),
         node_min=f32(bmin),

@@ -872,22 +872,19 @@ def _pad128(x: int) -> int:
 
 
 def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
-    """Packed (key, cid) kernel outputs -> (exact Hit, gathered rows).
+    """Packed (key, cid) kernel outputs -> exact Hit.
 
-    ONE (N, GEOM_COLS) row gather of the winning triangle's merged row
-    (sorted order; geometry + shading attributes — accel.build.GEOM_COLS),
-    then the same Moller-Trumbore arithmetic as the kernel recomputes
-    exact (t, u, v) and reads the ORIGINAL prim id from the row.  The
-    returned ``rows`` let the caller build the SurfaceInteraction without
-    a second per-ray gather (each (N, K) row gather costs ~40 ms per 1M
-    rays on v5e regardless of K — per-row latency, not bytes).
+    One (N, 16) row gather of the winning triangle's geometry (sorted
+    order), then the same Moller-Trumbore arithmetic as the kernel
+    recomputes exact (t, u, v) and reads the ORIGINAL prim id from the
+    row — four f32 planes less VMEM/HBM traffic in the hot loop.
     """
     flat = lambda a: a.reshape(-1)[:n]
     key = flat(key)
     cid = flat(cid)
     valid = cid >= 0
     tri_sorted = jnp.where(valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
-    rows = jnp.take(geom_tab, tri_sorted, axis=0)  # (N, GEOM_COLS)
+    rows = jnp.take(geom_tab, tri_sorted, axis=0)  # (N, 16)
     # componentwise MT recompute: (N, 3) operands (jnp.cross) would pad
     # the trailing triple 3 -> 128 lanes on TPU; column slices stay dense
     c = lambda j: rows[:, j]
@@ -910,16 +907,15 @@ def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
     qz = tx * e1y - ty * e1x
     v = (dx * qx + dy * qy + dz * qz) * inv
     t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    hit = Hit(
+    return Hit(
         t=jnp.where(valid, t, t_eff),
         tri_id=jnp.where(valid, prim.astype(jnp.int32), -1),
         bary_u=jnp.where(valid, u, 0.0),
         bary_v=jnp.where(valid, v, 0.0),
     )
-    return hit, rows
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret", "with_rows"))
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret"))
 def trace_closest_clusters(
     tri_tab: jnp.ndarray,
     geom_tab: jnp.ndarray,
@@ -932,16 +928,13 @@ def trace_closest_clusters(
     tile_rows: int = TILE_ROWS,
     refine: bool = False,
     interpret: bool = False,
-    with_rows: bool = False,
 ):
     """Returns (Hit in ORIGINAL triangle ids, stats dict — see
-    ``zero_trace_stats`` keys); with ``with_rows=True`` additionally the
-    winning triangles' shading-attribute rows (N, 17) sliced from the
-    merged ``geom_tab`` gather (accel.build.GEOM_ATTR_OFF layout), so the
-    shading stage needs NO second per-ray gather.  The kernel tracks only
-    a packed (quantized t | local tri) key + cluster id per lane; exact
-    (t, u, v) and the original prim id are recomputed post-trace from the
-    merged row (accel.build.BVH.geom_tab, sorted order).
+    ``zero_trace_stats`` keys).  The kernel tracks only a packed
+    (quantized t | local tri) key + cluster id per lane; exact (t, u, v)
+    and the original prim id are recomputed post-trace from ``geom_tab``
+    (accel.build.BVH.geom_tab, sorted order).  Shading attributes are
+    gathered separately by tri_id from BVH.attr_tab.
 
     Exact regardless of ``max_visits``: overflowing tiles whose result is
     not provably complete are re-traced against the full cluster list.
@@ -1014,11 +1007,7 @@ def trace_closest_clusters(
     else:
         stats = zero_trace_stats()
 
-    hit, rows = _decode_hits(outs[0], outs[1], geom_tab, rays, t_eff, n)
-    if with_rows:
-        from .build import GEOM_ATTR_OFF
-
-        return hit, stats, rows[:, GEOM_ATTR_OFF:GEOM_ATTR_OFF + 17]
+    hit = _decode_hits(outs[0], outs[1], geom_tab, rays, t_eff, n)
     return hit, stats
 
 

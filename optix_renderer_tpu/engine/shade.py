@@ -161,17 +161,14 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_surface_interaction_from_cluster(
-    ds: DeviceScene, rays: Ray, hit: Hit, attr_rows: jnp.ndarray,
+    ds: DeviceScene, rays: Ray, hit: Hit, attr_tab: jnp.ndarray,
     miss_color: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
-    """SurfaceInteraction from a big-scene-tier Hit + the winning
-    triangles' PRE-GATHERED attribute rows (N, >=17) — the trace's merged
-    geom_tab gather already fetched them (trace_closest_clusters
-    ``with_rows=True``), so this stage does no per-ray HBM gather at all
-    (each (N, K) row gather costs ~40 ms per 1M rays on v5e).
+    """SurfaceInteraction from a big-scene-tier Hit + the packed attribute
+    table (accel.build.BVH.attr_tab).
 
-    Row layout (accel.build pack_attr_tab cols 0-16): per-corner normals,
-    uvs, mesh id, area; normals/uvs are barycentric-interpolated and
+    One (N, ATTR_COLS) row gather by tri_id supplies per-corner normals,
+    uvs, mesh id and area; normals/uvs are barycentric-interpolated and
     diffuse textures sampled, matching hit_miss.cuh:30-44 at full
     fidelity.  The per-mesh material row comes from the exact-precision
     one-hot fetch (the SBT record equivalent).
@@ -183,7 +180,7 @@ def build_surface_interaction_from_cluster(
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
 
-    arows = attr_rows  # (N, >=17), gathered by the trace
+    arows = jnp.take(attr_tab, jnp.maximum(hit.tri_id, 0), axis=0)  # (N, 24)
     u = hit.bary_u[:, None]
     v = hit.bary_v[:, None]
     w = 1.0 - u - v
@@ -245,22 +242,19 @@ def _coherence_keys(rays: Ray, lo, hi) -> jnp.ndarray:
     return (octant << 21) | _morton7(q)
 
 
-def _permute_hit(h: Hit, arows: jnp.ndarray, perm: jnp.ndarray):
-    """Reorder a Hit + its attribute rows by ``perm`` with ONE packed
-    gather (separate (N,) gathers would cost one ~40 ms per-row-latency
-    pass each at 1M rays)."""
-    pack = jnp.concatenate(
-        [jnp.stack([h.t, h.tri_id.astype(jnp.float32), h.bary_u, h.bary_v],
-                   axis=1), arows],
-        axis=1,
-    )  # (N, 4 + A); ids < 2^24 are exact in f32
+def _permute_hit(h: Hit, perm: jnp.ndarray) -> Hit:
+    """Reorder a Hit by ``perm`` with ONE packed gather (four separate
+    (N,) gathers would cost ~4x the HBM passes)."""
+    pack = jnp.stack(
+        [h.t, h.tri_id.astype(jnp.float32), h.bary_u, h.bary_v], axis=1
+    )  # (N, 4); ids < 2^24 are exact in f32
     rows = jnp.take(pack, perm, axis=0)
     return Hit(
         t=rows[:, 0],
         tri_id=rows[:, 1].astype(jnp.int32),
         bary_u=rows[:, 2],
         bary_v=rows[:, 3],
-    ), rows[:, 4:]
+    )
 
 
 def trace_closest_si(
@@ -304,9 +298,8 @@ def trace_closest_si(
                 direction=jnp.where(m, rays.direction, up[None, :]),
             )
         if coherent:
-            hit, stats, arows = trace_closest_clusters(
-                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
-                rays, with_rows=True
+            hit, stats = trace_closest_clusters(
+                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays
             )
         else:
             lo = bvh.cluster_min.min(axis=0)
@@ -315,15 +308,15 @@ def trace_closest_si(
             od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
             od_s = jnp.take(od, perm, axis=0)
             sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-            hit_s, stats, arows_s = trace_closest_clusters(
+            hit_s, stats = trace_closest_clusters(
                 bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
-                sorted_rays, refine=True, with_rows=True
+                sorted_rays, refine=True
             )
             n = rays.origin.shape[0]
             inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-            hit, arows = _permute_hit(hit_s, arows_s, inv)
+            hit = _permute_hit(hit_s, inv)
         si = build_surface_interaction_from_cluster(
-            ds, rays, hit, arows, miss_color
+            ds, rays, hit, bvh.attr_tab, miss_color
         )
         return si, stats
     hit = trace_closest(bvh, rays)

@@ -62,11 +62,10 @@ def test_cluster_closest_matches_brute(setup):
 def test_cluster_si_matches_reference_attrs(setup):
     r, rays = setup
     ds, bvh = r.device_scene, r.bvh
-    ch, _, arows = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
-        interpret=True, with_rows=True
+    ch, _ = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si = build_surface_interaction_from_cluster(ds, rays, ch, arows)
+    si = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     m = np.asarray(si.hit)
     tid = np.asarray(ch.tri_id)[m]
 
@@ -203,14 +202,12 @@ def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
     ds, bvh = r.device_scene, r.bvh
     assert ds.num_tris > 4096  # cluster tier
     assert ds.has_textures
-    from optix_renderer_tpu.accel.build import GEOM_COLS
-    assert bvh.geom_tab.shape[1] == GEOM_COLS  # merged geometry+attr rows
+    assert bvh.attr_tab.shape[0] == ds.num_tris
 
-    ch, stats, arows = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
-        interpret=True, with_rows=True
+    ch, stats = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si_c = build_surface_interaction_from_cluster(ds, rays, ch, arows)
+    si_c = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
     hit = Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
     si_g = build_surface_interaction(ds, rays, hit)
 
@@ -250,22 +247,21 @@ def test_coherence_sorted_trace_matches_unsorted(setup):
         od = jnp.concatenate([rays.origin, rays.direction], axis=1)
         od_s = jnp.take(od, perm, axis=0)
         sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-        ch_s, _, arows_s = pc.trace_closest_clusters(
+        ch_s, _ = pc.trace_closest_clusters(
             bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
-            sorted_rays, interpret=True, with_rows=True
+            sorted_rays, interpret=True
         )
         n = rays.origin.shape[0]
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        ch, arows = shade._permute_hit(ch_s, arows_s, inv)
-        want, _, want_rows = pc.trace_closest_clusters(
+        ch = shade._permute_hit(ch_s, inv)
+        want, _ = pc.trace_closest_clusters(
             bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
-            rays, interpret=True, with_rows=True
+            rays, interpret=True
         )
         assert (np.asarray(ch.tri_id) == np.asarray(want.tri_id)).all()
         np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
         np.testing.assert_array_equal(np.asarray(ch.bary_u), np.asarray(want.bary_u))
         np.testing.assert_array_equal(np.asarray(ch.bary_v), np.asarray(want.bary_v))
-        np.testing.assert_array_equal(np.asarray(arows), np.asarray(want_rows))
 
 
 def test_ray_t_bounds_conservative(setup):
