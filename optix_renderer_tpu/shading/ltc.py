@@ -176,6 +176,25 @@ def integrate_over_polygon(
     lnx, lny, lnz = (light_normal[:, a][:, None] for a in range(3))
     facing = -(cgx * lnx + cgy * lny + cgz * lnz) >= 0.0  # backface :62-64
 
+    # fused per-ray matrices: the reference chains to_local -> normalize
+    # -> iso -> normalize (-> ltc_inv -> normalize).  normalize is
+    # scale-invariant under matrix application, so the intermediate
+    # normalizes are mathematically redundant — ONE fused (R, 3, 3)
+    # matmul per clip input (R-sized, 1/L the cost of an (L, R) pass)
+    # replaces each chain, with a single normalize at the end.
+    def matmul33(a, b):  # (R, 3, 3) @ (R, 3, 3), componentwise
+        return jnp.stack([
+            jnp.stack([
+                a[:, i, 0] * b[:, 0, k] + a[:, i, 1] * b[:, 1, k]
+                + a[:, i, 2] * b[:, 2, k]
+                for k in range(3)
+            ], axis=-1)
+            for i in range(3)
+        ], axis=-2)
+
+    mat_a = matmul33(iso_frame, to_local)
+    mat_b = matmul33(ltc_mat_inv, mat_a)
+
     def xform(m, v):  # m: (R, 3, 3) per-ray matrix, v: (L, R) comps
         x, y, z = v
         mr = lambda i, j: m[:, i, j][None, :]
@@ -185,28 +204,24 @@ def integrate_over_polygon(
             mr(2, 0) * x + mr(2, 1) * y + mr(2, 2) * z,
         )
 
-    l1 = xform(iso_frame, xform(to_local, l1))
-    l2 = xform(iso_frame, xform(to_local, l2))
-    l3 = xform(iso_frame, xform(to_local, l3))
+    a1, a2, a3 = xform(mat_a, l1), xform(mat_a, l2), xform(mat_a, l3)
 
     # first clip: the cosine (diffuse) polygon (slots [v1 v2 v3 v1 v1])
     slots = lambda a, b, c: [a, b, c, a, a]
     vc0 = jnp.full(l1[0].shape, 3, jnp.int32)
     dx, dy, dz, dvc = clip_polygon_c(
-        slots(l1[0], l2[0], l3[0]), slots(l1[1], l2[1], l3[1]),
-        slots(l1[2], l2[2], l3[2]), vc0,
+        slots(a1[0], a2[0], a3[0]), slots(a1[1], a2[1], a3[1]),
+        slots(a1[2], a2[2], a3[2]), vc0, tri_input=True,
     )
     diffuse_shading = _masked_polygon_integral_c(dx, dy, dz, dvc)  # (L, R)
 
     # second clip: LTC-transformed *original* triangle, but with the first
     # clip's vertex count — exactly the reference's (quirky) sequence
     # ltc_utils.cuh:94-101.
-    t1 = xform(ltc_mat_inv, l1)
-    t2 = xform(ltc_mat_inv, l2)
-    t3 = xform(ltc_mat_inv, l3)
+    t1, t2, t3 = xform(mat_b, l1), xform(mat_b, l2), xform(mat_b, l3)
     gx, gy, gz, lvc = clip_polygon_c(
         slots(t1[0], t2[0], t3[0]), slots(t1[1], t2[1], t3[1]),
-        slots(t1[2], t2[2], t3[2]), dvc,
+        slots(t1[2], t2[2], t3[2]), dvc, tri_input=True,
     )
     ggx_shading = _masked_polygon_integral_c(gx, gy, gz, lvc)  # (L, R)
 

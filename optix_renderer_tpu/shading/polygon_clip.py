@@ -122,7 +122,7 @@ def _iz0_c(lx, ly, lz, rx, ry, rz):
     return x / n, y / n
 
 
-def clip_polygon_c(vx, vy, vz, vcount):
+def clip_polygon_c(vx, vy, vz, vcount, tri_input: bool = False):
     """Componentwise clip core: the hot layout for TPU.
 
     ``vx``/``vy``/``vz`` are length-5 lists of same-shape batch arrays
@@ -130,6 +130,10 @@ def clip_polygon_c(vx, vy, vz, vcount):
     pair would pad 3 -> 128 lanes on TPU and waste ~42x of the VPU).
     Returns ``(ox, oy, oz, vc)`` with the same list-of-5 structure.
     Contract identical to :func:`clip_polygon`.
+
+    ``tri_input=True`` asserts slots 3 and 4 equal slot 0 (the reference
+    callers' [v1 v2 v3 v1 v1] convention, ltc_utils.cuh:77/100), which
+    halves the per-slot select chains — the LTC hot path.
     """
     b = vcount * 0  # broadcast helper in the batch shape/dtype
     bits = (
@@ -155,7 +159,7 @@ def clip_polygon_c(vx, vy, vz, vcount):
 
     def sel5(idx):  # select vertex slot idx (per lane) -> components
         x, y, z = vx[0], vy[0], vz[0]
-        for k in range(1, 5):
+        for k in range(1, 3 if tri_input else 5):
             m = idx == k
             x = jnp.where(m, vx[k], x)
             y = jnp.where(m, vy[k], y)
