@@ -305,6 +305,14 @@ def _pack_topk_lists(near, live, ids, id_bits, max_visits):
 # (benchmarks/sim_sc_counts.py); bounce rays saturate it but use the
 # per-lane cull instead.
 _SC_CAND = int(os.environ.get("OPTIX_TPU_SC_CAND", "64"))
+# cluster count above which the culls switch to the two-level
+# (supercluster-first) sweep; module-level so tests can force the
+# two-level path on small fixtures
+_TWO_LEVEL_MIN_C = 4096
+# per-lane cull analog of _SC_CAND: bounce tiles overlap ~20% of all
+# superclusters at some lane, so the cap is the same 64 by default;
+# overflow is checked identically
+_SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "64"))
 
 
 def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
@@ -333,7 +341,7 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     o_lo, o_hi, d_lo, d_hi, t_hi = _tile_bounds(rays, t_max, n_pad, tile)
     cb = _cid_bits(C)
 
-    use_two_level = C > 4096 and C > _SC_CAND * _SC_GROUP
+    use_two_level = C > _TWO_LEVEL_MIN_C and C > _SC_CAND * _SC_GROUP
     if not use_two_level:
         comps = ([cluster_min[:, a][None, :] for a in range(3)]
                  + [cluster_max[:, a][None, :] for a in range(3)])
@@ -419,8 +427,16 @@ def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
     ~3000 frustum-union), which makes the ``max_visits`` cap (here the
     list width itself) a rare event instead of a universal one.
 
-    Cost: rays x clusters x ~12 ops (~60 ms at 1M rays x 15.6k clusters)
-    — linear, paid once, instead of seconds of full-list fallback.
+    Cost: the dense per-lane sweep is rays x boxes x ~12 ops, so big
+    scenes use a TWO-LEVEL sweep exactly like :func:`cull_clusters`:
+    per-lane liveness against the C/64 supercluster AABBs first (~4%% of
+    the single-level arithmetic), then per-lane slabs only against the
+    clusters of each tile's nearest <= _SC_CAND_LANE overlapping
+    superclusters (gathered per tile).  Lane-slab liveness is monotone
+    under box enclosure, so no cluster survives whose supercluster was
+    culled; dropped-SC overflow is reported through (overflow,
+    near_dropped) and resolved by the caller's checked full-list
+    fallback — the same exactness contract as the single-level sweep.
     """
     n = rays.origin.shape[0]
     pad = n_pad - n
@@ -444,7 +460,7 @@ def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
     _CH = 128
 
     def _sweep_chunk(b):
-        """One cluster chunk: b = (6, 1, ch) [min.xyz | max.xyz] ->
+        """One box chunk: b = (6, 1_or_tiles, ch) [min.xyz | max.xyz] ->
         packed min-near over lanes (tiles, ch): entry distance of the
         nearest lane that can hit, +inf if none.  Packing liveness into
         the near keeps this ONE lane reduce, so the whole slab chain
@@ -461,42 +477,88 @@ def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
         lv = (near <= far) & (far > 0.0) & (near < tl1)
         return jnp.min(jnp.where(lv, jnp.maximum(near, 0.0), _INF), axis=1)
 
-    Kp = -(-C // _CH) * _CH
-    comps = []
-    for a in range(3):
-        comps.append(jnp.pad(cluster_min[:, a], (0, Kp - C), constant_values=_INF))
-    for a in range(3):
-        comps.append(jnp.pad(cluster_max[:, a], (0, Kp - C), constant_values=-_INF))
-    chunks = jnp.stack(comps, axis=0).reshape(6, Kp // _CH, _CH)
-    chunks = chunks.transpose(1, 0, 2)[:, :, None, :]  # (n_ch, 6, 1, ch)
-    near_t = jax.lax.map(_sweep_chunk, chunks)  # (n_ch, tiles, ch)
-    near_t = near_t.transpose(1, 0, 2).reshape(tiles, Kp)[:, :C]
-    cl_live = near_t < _INF
+    def sweep(box_comps, K):
+        """Per-lane min-near sweep over K boxes given as 6 arrays of
+        (K,) shared or (tiles, K) per-tile components; returns
+        (tiles, K)."""
+        Kp = -(-K // _CH) * _CH
+        shared = box_comps[0].ndim == 1
+        padded = []
+        for i, c in enumerate(box_comps):
+            fill = _INF if i < 3 else -_INF
+            if shared:
+                padded.append(jnp.pad(c, (0, Kp - K), constant_values=fill))
+            else:
+                padded.append(
+                    jnp.pad(c, ((0, 0), (0, Kp - K)), constant_values=fill))
+        if shared:
+            chunks = jnp.stack(padded, axis=0).reshape(6, Kp // _CH, _CH)
+            chunks = chunks.transpose(1, 0, 2)[:, :, None, :]  # (n, 6, 1, ch)
+        else:
+            chunks = jnp.stack(padded, axis=0).reshape(6, tiles, Kp // _CH, _CH)
+            chunks = chunks.transpose(2, 0, 1, 3)  # (n, 6, tiles, ch)
+        near = jax.lax.map(_sweep_chunk, chunks)  # (n, tiles, ch)
+        return near.transpose(1, 0, 2).reshape(tiles, Kp)[:, :K]
 
-    # packed top_k over live clusters -> standard front-to-back lists
     cbits = _cid_bits(C)
-    nb = _NEAR_BITS_TOTAL - cbits
-    D = (1 << nb) - 2
-    key = jnp.where(cl_live, near_t, _INF)
-    kmax = jnp.max(jnp.where(cl_live, key, 0.0), axis=1)
-    scale = jnp.maximum(kmax, 1e-6) / D
-    nearq = jnp.clip(jnp.floor(key * (1.0 / scale)[:, None]) - 1.0, 0, D).astype(jnp.int32)
-    cid = jnp.arange(C, dtype=jnp.int32)[None, :]
-    packed = jnp.where(cl_live, (nearq << cbits) | cid, ((D + 1) << cbits) | cid)
     maxv = max_visits
-    k2 = min(maxv + 1, C)
-    top = -jax.lax.top_k(-packed, k2)[0]
-    lists = top[:, :maxv]
-    if lists.shape[1] < maxv:
-        lists = jnp.pad(lists, ((0, 0), (0, maxv - lists.shape[1])), mode="edge")
-    total = cl_live.sum(axis=1).astype(jnp.int32)
-    counts = jnp.minimum(total, maxv)
-    overflow = total - counts
-    if k2 > maxv:
-        dq = (top[:, maxv] >> cbits).astype(jnp.float32)
-        near_dropped = jnp.where(overflow > 0, dq * scale, _INF)
-    else:
-        near_dropped = jnp.full((tiles,), _INF, jnp.float32)
+    G = _SC_GROUP
+    use_two_level = C > _TWO_LEVEL_MIN_C and C > _SC_CAND_LANE * G
+
+    if not use_two_level:
+        comps = ([cluster_min[:, a] for a in range(3)]
+                 + [cluster_max[:, a] for a in range(3)])
+        near_t = sweep(comps, C)
+        cid = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], near_t.shape)
+        return _pack_topk_lists(near_t, near_t < _INF, cid, cbits, maxv)
+
+    # ---- level 1: per-lane liveness against supercluster AABBs ----
+    S = -(-C // G)
+    padc = S * G - C
+    cmin = jnp.pad(cluster_min, ((0, padc), (0, 0)), constant_values=_INF)
+    cmax = jnp.pad(cluster_max, ((0, padc), (0, 0)), constant_values=-_INF)
+    sc_min = cmin.reshape(S, G, 3).min(axis=1)
+    sc_max = cmax.reshape(S, G, 3).max(axis=1)
+    sc_comps = ([sc_min[:, a] for a in range(3)]
+                + [sc_max[:, a] for a in range(3)])
+    sc_near = sweep(sc_comps, S)
+    sb = _cid_bits(S)
+    K1 = min(_SC_CAND_LANE, S)
+    sc_lists, sc_counts, _sc_scale, sc_overflow, sc_near_dropped = \
+        _pack_topk_lists(
+            sc_near, sc_near < _INF,
+            jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :],
+                             sc_near.shape),
+            sb, K1)
+
+    # ---- level 2: per-lane slabs for the kept superclusters only ----
+    sc_ids = sc_lists & ((1 << sb) - 1)          # (tiles, K1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tiles, K1), 1)
+    cand_valid = slot < sc_counts[:, None]
+    cand_cid_raw = (sc_ids[:, :, None] * G
+                    + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                    ).reshape(tiles, K1 * G)
+    box_comps = [
+        jnp.take(cmin[:, a].reshape(S, G), sc_ids, axis=0).reshape(tiles, K1 * G)
+        for a in range(3)
+    ] + [
+        jnp.take(cmax[:, a].reshape(S, G), sc_ids, axis=0).reshape(tiles, K1 * G)
+        for a in range(3)
+    ]
+    near_cand = sweep(box_comps, K1 * G)
+    # tail-SC padding boxes are inverted (+INF/-INF) and never pass the
+    # per-lane slab (near=+INF > far=-INF), but sentinel L1 slots and
+    # out-of-range ids must be masked; clamped duplicate ids stay in
+    # bounds and are idempotent under the kernel's key min
+    live = ((near_cand < _INF)
+            & jnp.repeat(cand_valid, G, axis=1) & (cand_cid_raw < C))
+    cand_cid = jnp.minimum(cand_cid_raw, C - 1)
+    lists, counts, scale, overflow, near_dropped = _pack_topk_lists(
+        jnp.where(live, near_cand, _INF), live, cand_cid, cbits, maxv)
+
+    overflow = overflow + jnp.where(sc_overflow > 0, sc_overflow * G, 0)
+    near_dropped = jnp.minimum(near_dropped, sc_near_dropped)
     return lists, counts, scale, overflow, near_dropped
 
 

@@ -384,3 +384,118 @@ def test_refined_lists_match_unrefined(big_setup):
         t_max=jnp.full((n,), 1e5, jnp.float32), refine=True, interpret=True,
     )
     assert (np.asarray(g_occ) == np.asarray(w_occ)).all()
+
+
+def test_two_level_per_lane_cull_matches_single_level(big_setup, monkeypatch):
+    """The supercluster-first per-lane cull must list exactly the same
+    live clusters as the single-level sweep when nothing overflows (L1
+    is monotone under box enclosure), and report conservative overflow
+    info when its SC cap drops live superclusters."""
+    r = big_setup
+    bvh = r.bvh
+    C = bvh.cluster_min.shape[0]
+    rng = np.random.default_rng(3)
+    n = pc.TILE * 2
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32),
+               direction=jnp.asarray(d, jnp.float32))
+    t_max = jnp.full((n,), 1e5, jnp.float32)
+    maxv = pc._pad128(C)
+    cb = pc._cid_bits(C)
+
+    def entry_sets(lists, counts):
+        e = np.asarray(lists) & ((1 << cb) - 1)
+        return [set(row[:c]) for row, c in zip(e, np.asarray(counts))]
+
+    single = pc.cull_clusters_per_lane(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    # force the two-level path on this small fixture
+    monkeypatch.setattr(pc, "_TWO_LEVEL_MIN_C", 1)
+    two = pc.cull_clusters_per_lane(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    assert int(np.asarray(two[3]).sum()) == 0  # no SC overflow at K1=64
+    assert entry_sets(two[0], two[1]) == entry_sets(single[0], single[1])
+
+    # tiny SC cap: overflow must be flagged with a conservative
+    # near_dropped (<= the true entry distance of every dropped cluster)
+    monkeypatch.setattr(pc, "_SC_CAND_LANE", 2)
+    cap = pc.cull_clusters_per_lane(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    ov = np.asarray(cap[3])
+    nd = np.asarray(cap[4])
+    assert ov.sum() > 0  # the stress actually drops superclusters
+    kept = entry_sets(cap[0], cap[1])
+    want = entry_sets(single[0], single[1])
+    # decode true entry distance of every single-level entry per tile
+    e_single = np.asarray(single[0])
+    scale_s = np.asarray(single[2])
+    for t in range(len(want)):
+        dropped = want[t] - kept[t]
+        if not dropped:
+            continue
+        assert ov[t] > 0
+        nearq = (e_single[t] >> cb).astype(np.float32) * scale_s[t]
+        ids = e_single[t] & ((1 << cb) - 1)
+        for cid in dropped:
+            true_near = nearq[np.nonzero(ids == cid)[0][0]]
+            # +1 quantum slack: both sides quantize with a -1 floor
+            assert nd[t] <= true_near + 2.0 * scale_s[t]
+
+
+def test_two_level_tile_cull_matches_single_level(big_setup, monkeypatch):
+    """Same contract for the coherent (tile-frustum) cull: the
+    supercluster-first path lists the same clusters as the single-level
+    slab when its SC cap holds, and flags conservative overflow when it
+    doesn't (previously only exercised on the 15k-cluster benchmark
+    scene, never in the suite)."""
+    r = big_setup
+    bvh = r.bvh
+    C = bvh.cluster_min.shape[0]
+    n = pc.TILE * 2
+    W = H = 64
+    lin = jnp.arange(W * H, dtype=jnp.uint32)
+    rs = rnglib.make_rng(5, lin)
+    rs, ju = rnglib.lcg_randomf(rs)
+    rs, jv = rnglib.lcg_randomf(rs)
+    rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
+    rays = Ray(origin=rays.origin[:n], direction=rays.direction[:n])
+    t_max = jnp.full((n,), 1e5, jnp.float32)
+    maxv = pc._pad128(C)
+    cb = pc._cid_bits(C)
+
+    def entry_sets(lists, counts):
+        e = np.asarray(lists) & ((1 << cb) - 1)
+        return [set(row[:c]) for row, c in zip(e, np.asarray(counts))]
+
+    single = pc.cull_clusters(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    monkeypatch.setattr(pc, "_TWO_LEVEL_MIN_C", 1)
+    two = pc.cull_clusters(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    assert int(np.asarray(two[3]).sum()) == 0
+    assert entry_sets(two[0], two[1]) == entry_sets(single[0], single[1])
+
+    monkeypatch.setattr(pc, "_SC_CAND", 2)
+    cap = pc.cull_clusters(
+        bvh.cluster_min, bvh.cluster_max, rays, t_max, n, maxv)
+    ov = np.asarray(cap[3])
+    nd = np.asarray(cap[4])
+    assert ov.sum() > 0
+    kept = entry_sets(cap[0], cap[1])
+    want = entry_sets(single[0], single[1])
+    e_single = np.asarray(single[0])
+    scale_s = np.asarray(single[2])
+    for t in range(len(want)):
+        dropped = want[t] - kept[t]
+        if not dropped:
+            continue
+        assert ov[t] > 0
+        nearq = (e_single[t] >> cb).astype(np.float32) * scale_s[t]
+        ids = e_single[t] & ((1 << cb) - 1)
+        for cid in dropped:
+            true_near = nearq[np.nonzero(ids == cid)[0][0]]
+            assert nd[t] <= true_near + 2.0 * scale_s[t]
