@@ -313,6 +313,14 @@ _TWO_LEVEL_MIN_C = 4096
 # superclusters at some lane, so the cap is the same 64 by default;
 # overflow is checked identically
 _SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "64"))
+# incoherent traces run the kernels at ROW granularity (one grid step
+# per 128-ray row): bounce rows share only ~4% of their cluster sets
+# with their tile siblings (ROADMAP), so row lists are ~4x smaller AND
+# the front-to-back early-out bound stops being hostage to the tile's
+# worst lane.  _ROW_MAX_VISITS caps the per-row list width (overflow is
+# checked, as everywhere).
+_ROW_BOUNCE = os.environ.get("OPTIX_TPU_ROW_BOUNCE", "1") == "1"
+_ROW_MAX_VISITS = int(os.environ.get("OPTIX_TPU_ROW_MAX_VISITS", "1536"))
 
 
 def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
@@ -645,7 +653,7 @@ def _key_t_up(key):
     return jax.lax.bitcast_convert_type(key | _LOCAL_MASK, jnp.float32)
 
 
-def _closest_cluster_kernel(cid_bits: int, maxv: int,
+def _closest_cluster_kernel(cid_bits: int, maxv: int, row_mode: bool,
                             cnt_ref, scale_ref, lst_ref, tri_hbm,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                             tmax_ref, key0_ref, cid0_ref,
@@ -681,6 +689,25 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     cnt = cnt_ref[ti]
     lw = maxv // 8
     G = _VISIT_GROUP
+    # ROW MODE (incoherent traces): one grid step per 128-ray ROW.  The
+    # (8, 128) ray/output blocks are shared by 8 consecutive steps (index
+    # map t // 8, Mosaic re-fetches/flushes only on block-index change);
+    # each step reads and writes ONLY its own sublane r = t %% 8, so the
+    # 8 steps of a window jointly fill the output block.  Lists, counts
+    # and scales are per ROW.  This is how sub-8-row ray tiles exist at
+    # all on hardware: Mosaic rejects (rows<8, 128) BlockSpecs outside
+    # interpret mode, so the granularity lives in the GRID, not the block.
+    if row_mode:
+        r = ti % 8
+        ld = lambda ref: ref[pl.ds(r, 1), :]       # (1, 128) row view
+
+        def stv(ref, v):
+            ref[pl.ds(r, 1), :] = v
+    else:
+        ld = lambda ref: ref[:]
+
+        def stv(ref, v):
+            ref[:] = v
 
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
@@ -690,8 +717,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     # fallback feeds the first pass's RESULT keys, so its front-to-back
     # early-out starts at the already-achieved hit distances and only the
     # clusters that could still improve are visited
-    key_ref[:] = key0_ref[:]
-    cid_ref[:] = cid0_ref[:]
+    stv(key_ref, ld(key0_ref))
+    stv(cid_ref, ld(cid0_ref))
 
     lcopy.wait()
 
@@ -709,12 +736,15 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
     def _run():
         for i in range(_PF_GROUPS * G):  # fill the ring
             cluster_dma(i % _N_BUF, i).start()
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ox, oy, oz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
+        dx, dy, dz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
         # front-to-back cut-off bound: SMEM so the skipped-group path pays
-        # no vector->scalar sync; recomputed only when a group improves
-        tb_ref[0] = jnp.max(_key_t_up(key_ref[:]))
+        # no vector->scalar sync; recomputed only when a group improves.
+        # In row mode this bound covers ONE row instead of the whole
+        # tile, so it is no longer hostage to the tile's worst lane —
+        # the early-out actually fires for incoherent rays.
+        tb_ref[0] = jnp.max(_key_t_up(ld(key_ref)))
 
         def cond(g):
             k0 = g * G
@@ -738,7 +768,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
             # guards — 8 vector->scalar any() syncs per visit, 8.6 -> 3.4
             # Mrays/s on the 1M terrain; a sublane-triangle (8,1)x(1,128)
             # MT layout with per-stripe masking, 8.6 -> 4.5.)
-            kt_up = _key_t_up(key_ref[:])
+            kt_up = _key_t_up(ld(key_ref))
             live = None
             for j in range(G):
                 near_l, far_l = _lane_slab(blks[j], ox, oy, oz, ix, iy, iz)
@@ -750,8 +780,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
 
             @pl.when(gate)
             def _test():
-                key = key_ref[:]
-                cidv = cid_ref[:]
+                key = ld(key_ref)
+                cidv = ld(cid_ref)
                 for j in range(G):
                     key_prev = key
                     kc_min = None
@@ -771,8 +801,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
                         kc_min = kc if kc_min is None else jnp.minimum(kc_min, kc)
                     key = jnp.minimum(key, kc_min)
                     cidv = jnp.where(key < key_prev, lst_at(k0 + j) & cmask, cidv)
-                cid_ref[:] = cidv
-                key_ref[:] = key
+                stv(cid_ref, cidv)
+                stv(key_ref, key)
                 tb_ref[0] = jnp.max(_key_t_up(key))
 
             return g + 1
@@ -790,7 +820,7 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int,
         )
 
 
-def _any_cluster_kernel(cid_bits: int, maxv: int,
+def _any_cluster_kernel(cid_bits: int, maxv: int, row_mode: bool,
                         cnt_ref, scale_ref, lst_ref, tri_hbm,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, occ_ref,
@@ -806,10 +836,25 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
     cnt = cnt_ref[ti]
     lw = maxv // 8
     G = _VISIT_GROUP
+    if row_mode:  # see _closest_cluster_kernel: one grid step per ROW
+        r = ti % 8
+        ld = lambda ref: ref[pl.ds(r, 1), :]
+
+        def stv(ref, v):
+            ref[pl.ds(r, 1), :] = v
+
+        occ_shape = (1, occ_ref.shape[1])
+    else:
+        ld = lambda ref: ref[:]
+
+        def stv(ref, v):
+            ref[:] = v
+
+        occ_shape = occ_ref.shape
 
     lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
     lcopy.start()
-    occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+    stv(occ_ref, jnp.zeros(occ_shape, jnp.int32))
     lcopy.wait()
 
     def lst_at(k):
@@ -826,10 +871,10 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
     def _run():
         for i in range(_PF_GROUPS * G):  # fill the ring
             cluster_dma(i % _N_BUF, i).start()
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ox, oy, oz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
+        dx, dy, dz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
         ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
-        tmax = tmax_ref[:]
+        tmax = ld(tmax_ref)
         done_ref[0] = jnp.int32(0)
 
         def cond(g):
@@ -845,7 +890,7 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
                 cluster_dma((k0 + j) % _N_BUF, k0 + j).wait()
                 blks.append(buf[(k0 + j) % _N_BUF])
 
-            unocc = occ_ref[:] == 0
+            unocc = ld(occ_ref) == 0
             live = None
             for j in range(G):
                 near_l, far_l = _lane_slab(blks[j], ox, oy, oz, ix, iy, iz)
@@ -855,7 +900,7 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
 
             @pl.when(jnp.any(live))
             def _test():
-                occ = occ_ref[:]
+                occ = ld(occ_ref)
                 for j in range(G):
                     for ci in range(GROUP_CLUSTER // TRI_SUB):
                         hit, _, _, _ = _mt_chunk(
@@ -863,7 +908,7 @@ def _any_cluster_kernel(cid_bits: int, maxv: int,
                             ox, oy, oz, dx, dy, dz, tmax,
                         )
                         occ = occ | jnp.any(hit, axis=0).astype(jnp.int32)
-                occ_ref[:] = occ
+                stv(occ_ref, occ)
                 done_ref[0] = jnp.min(occ)
 
             return g + 1
@@ -896,10 +941,18 @@ def _planes(rays: Ray, tmax, n_pad: int):
     )
 
 
-def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool, tile_rows: int):
-    tile_spec = pl.BlockSpec(
-        (tile_rows, LANES), lambda t, cnt, sc: (t, 0), memory_space=pltpu.VMEM
-    )
+def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool,
+               tile_rows: int, row_mode: bool = False):
+    if row_mode:
+        # one grid step per ROW; 8 consecutive steps share one (8, 128)
+        # ray/output block (index t // 8) and touch only sublane t %% 8
+        tile_spec = pl.BlockSpec(
+            (8, LANES), lambda t, cnt, sc: (t // 8, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        tile_spec = pl.BlockSpec(
+            (tile_rows, LANES), lambda t, cnt, sc: (t, 0),
+            memory_space=pltpu.VMEM)
     lidx = (lambda t, cnt, sc: (0, 0)) if shared_lists else (lambda t, cnt, sc: (t, 0))
     lst_spec = pl.BlockSpec((8, maxv // 8), lidx, memory_space=pltpu.VMEM)
     out_specs = [tile_spec] * n_out if n_out > 1 else tile_spec
@@ -1006,13 +1059,22 @@ def trace_closest_clusters(
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
         "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
     )
-    tile = tile_rows * LANES
-    tiles = -(-n // tile)
-    n_pad = tiles * tile
+    row_mode = refine and _ROW_BOUNCE
+    if row_mode:  # incoherent rays: row-granular lists + kernel grid
+        n_pad = -(-n // (8 * LANES)) * (8 * LANES)  # whole (8,128) blocks
+        tile = LANES
+        grid_n = n_pad // LANES  # one grid step per ROW
+        out_rep = 1
+    else:
+        tile = tile_rows * LANES
+        grid_n = -(-n // tile)
+        n_pad = grid_n * tile
+        out_rep = tile_rows
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     if refine:  # incoherent rays: per-lane cull (see its docstring)
-        maxv = _pad128(min(_SC_KEEP * _SC_GROUP, C))
+        maxv = (_pad128(min(_ROW_MAX_VISITS, C)) if row_mode
+                else _pad128(min(_SC_KEEP * _SC_GROUP, C)))
         lists, counts, scales, overflow, near_dropped = cull_clusters_per_lane(
             cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
@@ -1022,10 +1084,10 @@ def trace_closest_clusters(
             cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
     cb = _cid_bits(C)
-    lists = lists.reshape(tiles * 8, maxv // 8)
+    lists = lists.reshape(grid_n * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
-    out_shape = [jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)] * 2
+    out_shape = [jax.ShapeDtypeStruct((grid_n * out_rep, LANES), jnp.int32)] * 2
     tmax_plane = planes[-1]
     tb = jax.lax.bitcast_convert_type(tmax_plane, jnp.int32)
     key_cold = (tb & ~_LOCAL_MASK) | _LOCAL_MASK
@@ -1033,8 +1095,8 @@ def trace_closest_clusters(
 
     def run(lsts, cnts, scls, mv, shared, key0, cid0):
         return pl.pallas_call(
-            functools.partial(_closest_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 2, shared, tile_rows),
+            functools.partial(_closest_cluster_kernel, cb, mv, row_mode),
+            grid_spec=_grid_spec(grid_n, mv, 2, shared, tile_rows, row_mode),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes, key0, cid0)
@@ -1047,17 +1109,17 @@ def trace_closest_clusters(
         # means it only visits clusters that could still improve, instead
         # of the full list cold (measured 42 s/frame on terrain PATH
         # depth-4, where incoherent bounce tiles overflow every trace).
-        t_tile = _key_t_up(outs[0]).reshape(tiles, -1).max(axis=1)
+        t_tile = _key_t_up(outs[0]).reshape(grid_n, -1).max(axis=1)
         unresolved = (overflow > 0) & (t_tile > near_dropped)
         any_un = jnp.any(unresolved)
 
         lists_full, maxv_full = _full_lists(C)
-        zscale = jnp.zeros((tiles,), jnp.float32)
+        zscale = jnp.zeros((grid_n,), jnp.float32)
 
         def fallback(o):
             counts_f = jnp.where(unresolved, jnp.int32(C), 0)
             outs_f = run(lists_full, counts_f, zscale, maxv_full, True, o[0], o[1])
-            m = jnp.repeat(unresolved, tile_rows)[:, None]
+            m = jnp.repeat(unresolved, out_rep)[:, None]
             return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
 
         outs = jax.lax.cond(any_un, fallback, lambda o: o, outs)
@@ -1097,13 +1159,22 @@ def trace_any_clusters(
     assert tri_tab.shape[0] == C * 8 and tri_tab.shape[1] == 128, (
         "big-scene tier needs the grouped (C*8, 128) table (pack_tri_table_grouped)"
     )
-    tile = tile_rows * LANES
-    tiles = -(-n // tile)
-    n_pad = tiles * tile
+    row_mode = refine and _ROW_BOUNCE
+    if row_mode:
+        n_pad = -(-n // (8 * LANES)) * (8 * LANES)
+        tile = LANES
+        grid_n = n_pad // LANES
+        out_rep = 1
+    else:
+        tile = tile_rows * LANES
+        grid_n = -(-n // tile)
+        n_pad = grid_n * tile
+        out_rep = tile_rows
 
     t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     if refine:
-        maxv = _pad128(min(_SC_KEEP * _SC_GROUP, C))
+        maxv = (_pad128(min(_ROW_MAX_VISITS, C)) if row_mode
+                else _pad128(min(_SC_KEEP * _SC_GROUP, C)))
         lists, counts, scales, overflow, _near_dropped = cull_clusters_per_lane(
             cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
@@ -1113,14 +1184,14 @@ def trace_any_clusters(
             cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
     cb = _cid_bits(C)
-    lists = lists.reshape(tiles * 8, maxv // 8)
+    lists = lists.reshape(grid_n * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
-    out_shape = jax.ShapeDtypeStruct((tiles * tile_rows, LANES), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((grid_n * out_rep, LANES), jnp.int32)
 
     def run(lsts, cnts, scls, mv, shared):
         return pl.pallas_call(
-            functools.partial(_any_cluster_kernel, cb, mv),
-            grid_spec=_grid_spec(tiles, mv, 1, shared, tile_rows),
+            functools.partial(_any_cluster_kernel, cb, mv, row_mode),
+            grid_spec=_grid_spec(grid_n, mv, 1, shared, tile_rows, row_mode),
             out_shape=out_shape,
             interpret=interpret,
         )(cnts, scls, lsts, tri_tab, *planes)
@@ -1128,17 +1199,17 @@ def trace_any_clusters(
     occ = run(lists, counts, scales, maxv, False)
 
     if C > maxv:
-        all_occ = occ.reshape(tiles, -1).min(axis=1) > 0
+        all_occ = occ.reshape(grid_n, -1).min(axis=1) > 0
         unresolved = (overflow > 0) & ~all_occ
         any_un = jnp.any(unresolved)
 
         lists_full, maxv_full = _full_lists(C)
-        zscale = jnp.zeros((tiles,), jnp.float32)
+        zscale = jnp.zeros((grid_n,), jnp.float32)
 
         def fallback(o):
             counts_f = jnp.where(unresolved, jnp.int32(C), 0)
             occ_f = run(lists_full, counts_f, zscale, maxv_full, True)
-            m = jnp.repeat(unresolved, tile_rows)[:, None]
+            m = jnp.repeat(unresolved, out_rep)[:, None]
             return jnp.where(m, occ_f, o)
 
         occ = jax.lax.cond(any_un, fallback, lambda o: o, occ)
