@@ -306,9 +306,10 @@ def _pack_topk_lists(near, live, ids, id_bits, max_visits):
 # per-lane cull instead.
 _SC_CAND = int(os.environ.get("OPTIX_TPU_SC_CAND", "64"))
 # cluster count above which the culls switch to the two-level
-# (supercluster-first) sweep; module-level so tests can force the
-# two-level path on small fixtures
-_TWO_LEVEL_MIN_C = 4096
+# (supercluster-first) sweep; module-level (and env-overridable) so the
+# suite and the hardware tests can force the two-level path on small
+# fixtures
+_TWO_LEVEL_MIN_C = int(os.environ.get("OPTIX_TPU_TWO_LEVEL_MIN_C", "4096"))
 # per-lane cull analog of _SC_CAND: bounce tiles overlap ~20% of all
 # superclusters at some lane, so the cap is the same 64 by default;
 # overflow is checked identically

@@ -57,6 +57,15 @@ def _scene_json() -> str:
 
 
 def test_tpu_cluster_tier_matches_cpu(tmp_path):
+    # force the TWO-LEVEL culls even at this scene's ~330 clusters, so
+    # the hardware run covers the supercluster paths too (the gate is
+    # normally 4096 clusters; both renders below inherit the override,
+    # and list contents are identical either way — see the unit tests)
+    os.environ["OPTIX_TPU_TWO_LEVEL_MIN_C"] = "1"
+    from optix_renderer_tpu.accel import pallas_cluster as pc
+
+    pc._TWO_LEVEL_MIN_C = 1
+
     scene_path = _scene_json()
     cpu = str(tmp_path / "cpu.npy")
     code = _RENDER.format(platform="cpu", scene=scene_path, out=cpu)
