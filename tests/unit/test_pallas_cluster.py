@@ -499,3 +499,59 @@ def test_two_level_tile_cull_matches_single_level(big_setup, monkeypatch):
         for cid in dropped:
             true_near = nearq[np.nonzero(ids == cid)[0][0]]
             assert nd[t] <= true_near + 2.0 * scale_s[t]
+
+
+def test_row_mode_overflow_is_checked(big_setup, monkeypatch):
+    """Row-granularity traces cap per-ROW lists at _ROW_MAX_VISITS; an
+    overflowing row must land in the checked full-list fallback, never
+    in a dropped hit.  (The tile-mode twin is
+    test_overflow_is_checked_not_silent.)"""
+    r = big_setup
+    bvh = r.bvh
+    # the list-width floor is one 128-entry block, which random rows on
+    # this 330-cluster fixture rarely exceed — stress the SC level
+    # instead: force the two-level per-lane cull with a 2-supercluster
+    # cap, so rows overlapping more superclusters overflow and must be
+    # resolved by the full-list fallback
+    monkeypatch.setattr(pc, "_ROW_MAX_VISITS", 16)   # floor: 128 entries
+    monkeypatch.setattr(pc, "_TWO_LEVEL_MIN_C", 1)
+    monkeypatch.setattr(pc, "_SC_CAND_LANE", 2)
+
+    rng = np.random.default_rng(13)
+    n = 999  # unique shape: defeats the jit cache, forces a retrace
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    o[:, 1] = hi[1] * 1.2
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32),
+               direction=jnp.asarray(d, jnp.float32))
+
+    ch, stats = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        refine=True, interpret=True,
+    )
+    assert int(stats["overflow"]) > 0  # rows really overflowed the cap
+
+    tris = jnp.stack(
+        [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
+    )
+    want = intersect_brute(tris, rays)
+    want_ids = np.where(
+        np.asarray(want.tri_id) >= 0,
+        np.asarray(bvh.prim_id)[np.maximum(np.asarray(want.tri_id), 0)],
+        -1,
+    )
+    assert (np.asarray(ch.tri_id) == want_ids).mean() > 0.999
+    m = want_ids >= 0
+    np.testing.assert_allclose(
+        np.asarray(ch.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-3
+    )
+
+    occ, astats = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((n,), 1e5, jnp.float32), refine=True, interpret=True,
+    )
+    assert int(astats["overflow"]) > 0
+    assert (np.asarray(occ) == (want_ids >= 0)).all()
