@@ -133,10 +133,11 @@ def main():
         r.device_scene, rays, h, bvh.attr_tab).n_geom.sum())
     res, _ = timeit(f_si, hit)
     print(f"SI build (full): {res['amortized_s']*1e3:.2f} ms")
-    f_si2 = jax.jit(lambda h: jnp.take(
-        bvh.attr_tab, jnp.maximum(h.tri_id, 0), axis=0).sum())
+    f_si2 = jax.jit(lambda h: sum(jnp.take(
+        t, jnp.maximum(h.tri_id, 0), axis=0).sum() for t in bvh.attr_tab))
     res, _ = timeit(f_si2, hit)
-    print(f"SI attr gather alone (N,{bvh.attr_tab.shape[1]}): "
+    widths = "+".join(str(t.shape[1]) for t in bvh.attr_tab)
+    print(f"SI attr gathers alone (N,{widths}): "
           f"{res['amortized_s']*1e3:.2f} ms")
 
 

@@ -110,12 +110,12 @@ def main():
     si_fn = jax.jit(lambda h: shlib.build_surface_interaction_from_cluster(
         r.device_scene, rays, h, bvh.attr_tab))
     res, _ = timeit(si_fn, hit)
-    print(f"build_SI_from_cluster (attr (N,{bvh.attr_tab.shape[1]}) gather + mesh one-hot): "
+    print(f"build_SI_from_cluster (attr (N,{bvh.attr_tab[0].shape[1]}+{bvh.attr_tab[1].shape[1]}) gathers + mesh one-hot): "
           f"{res['amortized_s']*1e3:.2f} ms")
 
     @jax.jit
     def gather_attr_row(idx):
-        return jnp.take(bvh.attr_tab, idx, axis=0)
+        return tuple(jnp.take(t, idx, axis=0) for t in bvh.attr_tab)
 
     res, _ = timeit(gather_attr_row, jnp.maximum(hit.tri_id, 0))
     print(f"  attr row gather alone: {res['amortized_s']*1e3:.2f} ms")

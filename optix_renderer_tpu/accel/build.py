@@ -69,12 +69,15 @@ class BVH:
     # (t, u, v) — the kernel itself only tracks a packed (quantized t |
     # local id) min-key.  Aliases tri_tab on the small-scene tier (same
     # layout).
-    attr_tab: jnp.ndarray  # (T, ATTR_COLS) f32 per-triangle shading
-    # attributes in ORIGINAL tri order: [n1(3) n2(3) n3(3) uv1(2) uv2(2)
-    # uv3(2) mesh_id(1) area(1) pad] — the cluster tier's post-trace
-    # attribute source (one packed row gather by tri_id replaces both the
-    # reference's SBT record fetch and barycentric attribute interpolation
-    # inputs, hit_miss.cuh:14-50); (1, ATTR_COLS) dummy on the brute tier
+    attr_tab: tuple  # per-triangle shading attributes in ORIGINAL tri
+    # order, SPLIT by consumer so jit DCE drops what a mode never reads
+    # (NORMALS never gathers uvs/mesh; DIFFUSE never gathers normals):
+    #   [0] (T, ATTR_NRM_COLS) f32 [n1(3) n2(3) n3(3) pad(3)]
+    #   [1] (T, ATTR_UVM_COLS) f32 [uv1(2) uv2(2) uv3(2) mesh_id area]
+    # Together they are the cluster tier's post-trace attribute source
+    # (packed row gathers by tri_id replace both the reference's SBT
+    # record fetch and barycentric attribute interpolation inputs,
+    # hit_miss.cuh:14-50); (1, cols) dummies on the brute tier
 
     @property
     def num_nodes(self) -> int:
@@ -169,22 +172,25 @@ def _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size):
 
 
 CLUSTER_SIZE = 64  # triangles per cluster (big-scene Pallas tier)
-ATTR_COLS = 24  # attr_tab row width (17 used, padded for aligned gathers)
+ATTR_NRM_COLS = 12  # corner-normal group row width (9 used)
+ATTR_UVM_COLS = 8   # uv/mesh/area group row width (8 used)
 
 
 def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
-    """(T, ATTR_COLS) per-triangle attribute rows in ORIGINAL tri order.
+    """Per-triangle attribute rows in ORIGINAL tri order, split into the
+    (normals, uv+mesh+area) gather groups (see BVH.attr_tab).
 
     n_corner (T, 3, 3) per-corner normals, uv_corner (T, 3, 2) per-corner
     uvs, tri_mesh (T,), area (T,).  mesh ids are exact as f32 < 2^24.
     """
     T = len(tri_mesh)
-    tab = np.zeros((T, ATTR_COLS), np.float32)
-    tab[:, 0:9] = np.asarray(n_corner, np.float32).reshape(T, 9)
-    tab[:, 9:15] = np.asarray(uv_corner, np.float32).reshape(T, 6)
-    tab[:, 15] = np.asarray(tri_mesh, np.float32)
-    tab[:, 16] = np.asarray(area, np.float32)
-    return tab
+    nrm = np.zeros((T, ATTR_NRM_COLS), np.float32)
+    nrm[:, 0:9] = np.asarray(n_corner, np.float32).reshape(T, 9)
+    uvm = np.zeros((T, ATTR_UVM_COLS), np.float32)
+    uvm[:, 0:6] = np.asarray(uv_corner, np.float32).reshape(T, 6)
+    uvm[:, 6] = np.asarray(tri_mesh, np.float32)
+    uvm[:, 7] = np.asarray(area, np.float32)
+    return nrm, uvm
 
 
 def build_bvh(
@@ -196,8 +202,8 @@ def build_bvh(
 ) -> BVH:
     """Build from (T, 3, 3) float32 triangle vertices.
 
-    ``tri_attr`` is the (T, ATTR_COLS) per-triangle attribute table (see
-    BVH.attr_tab / pack_attr_tab) in ORIGINAL triangle order, stored
+    ``tri_attr`` is the (nrm, uvm) per-triangle attribute table pair
+    (see BVH.attr_tab / pack_attr_tab) in ORIGINAL triangle order, stored
     untouched; when absent on a big scene a flat-shaded default is
     synthesized from ``tri_normal``/``tri_mesh`` (geometry-only builds,
     e.g. traversal tests).  ``tri_normal``/``tri_mesh`` also ride the
@@ -268,10 +274,13 @@ def build_bvh(
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
         geom_tab = tri_tab  # same flat layout: alias, no extra memory
     if T <= 4096:
-        attr_tab = np.zeros((1, ATTR_COLS), np.float32)
+        attr_tab = (np.zeros((1, ATTR_NRM_COLS), np.float32),
+                    np.zeros((1, ATTR_UVM_COLS), np.float32))
     elif tri_attr is not None:
-        attr_tab = np.asarray(tri_attr, np.float32)
-        assert attr_tab.shape == (T, ATTR_COLS)
+        attr_tab = (np.asarray(tri_attr[0], np.float32),
+                    np.asarray(tri_attr[1], np.float32))
+        assert attr_tab[0].shape == (T, ATTR_NRM_COLS)
+        assert attr_tab[1].shape == (T, ATTR_UVM_COLS)
     else:
         # geometry-only default: flat representative normals, zero uv
         rep = (np.zeros((T, 3), np.float32) if tri_normal is None
@@ -289,7 +298,7 @@ def build_bvh(
     return BVH(
         tri_tab=tri_tab,
         geom_tab=geom_tab,
-        attr_tab=jnp.asarray(attr_tab),
+        attr_tab=tuple(jnp.asarray(a) for a in attr_tab),
         cluster_min=f32(cmin),
         cluster_max=f32(cmax),
         node_min=f32(bmin),

@@ -161,17 +161,19 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_surface_interaction_from_cluster(
-    ds: DeviceScene, rays: Ray, hit: Hit, attr_tab: jnp.ndarray,
+    ds: DeviceScene, rays: Ray, hit: Hit, attr_tab: tuple,
     miss_color: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
     """SurfaceInteraction from a big-scene-tier Hit + the packed attribute
-    table (accel.build.BVH.attr_tab).
+    tables (accel.build.BVH.attr_tab: the (normals, uv+mesh+area) pair).
 
-    One (N, ATTR_COLS) row gather by tri_id supplies per-corner normals,
-    uvs, mesh id and area; normals/uvs are barycentric-interpolated and
-    diffuse textures sampled, matching hit_miss.cuh:30-44 at full
-    fidelity.  The per-mesh material row comes from the exact-precision
-    one-hot fetch (the SBT record equivalent).
+    Row gathers by tri_id supply per-corner normals, uvs, mesh id and
+    area; normals/uvs are barycentric-interpolated and diffuse textures
+    sampled, matching hit_miss.cuh:30-44 at full fidelity.  The per-mesh
+    material row comes from the exact-precision one-hot fetch (the SBT
+    record equivalent).  The two groups are gathered SEPARATELY so jit
+    DCE removes whichever a mode never reads (NORMALS keeps only the
+    normal group; DIFFUSE only the uv/mesh group).
     """
     if miss_color is None:
         miss_color = ds.miss_color
@@ -180,17 +182,20 @@ def build_surface_interaction_from_cluster(
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
 
-    arows = jnp.take(attr_tab, jnp.maximum(hit.tri_id, 0), axis=0)  # (N, 24)
+    nrm_tab, uvm_tab = attr_tab
+    tid = jnp.maximum(hit.tri_id, 0)
     u = hit.bary_u[:, None]
     v = hit.bary_v[:, None]
     w = 1.0 - u - v
+    nrows = jnp.take(nrm_tab, tid, axis=0)  # (N, 12)
     n_geom = cm.normalize(
-        w * arows[:, 0:3] + u * arows[:, 3:6] + v * arows[:, 6:9], eps=1e-30
+        w * nrows[:, 0:3] + u * nrows[:, 3:6] + v * nrows[:, 6:9], eps=1e-30
     )
-    uv = w * arows[:, 9:11] + u * arows[:, 11:13] + v * arows[:, 13:15]
+    arows = jnp.take(uvm_tab, tid, axis=0)  # (N, 8)
+    uv = w * arows[:, 0:2] + u * arows[:, 2:4] + v * arows[:, 4:6]
     uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
-    mesh_id = arows[:, 15].astype(jnp.int32)
-    area = arows[:, 16]
+    mesh_id = arows[:, 6].astype(jnp.int32)
+    area = arows[:, 7]
 
     rows = _mesh_attr_rows(ds, jnp.where(valid, mesh_id, 0))
     diffuse = rows[:, 0:3]

@@ -202,7 +202,7 @@ def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
     ds, bvh = r.device_scene, r.bvh
     assert ds.num_tris > 4096  # cluster tier
     assert ds.has_textures
-    assert bvh.attr_tab.shape[0] == ds.num_tris
+    assert bvh.attr_tab[0].shape[0] == ds.num_tris
 
     ch, stats = pc.trace_closest_clusters(
         bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
