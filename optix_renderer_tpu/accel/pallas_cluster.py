@@ -46,14 +46,22 @@ Every ray's ``t_max`` is pre-clamped by a per-ray supercluster sweep
 (``ray_t_bounds``): rays overlapping no geometry get t=0, so sky lanes
 cannot poison the tile-level front-to-back early-out with t=inf.
 
-Incoherent (bounce/shadow) traces use ``cull_clusters_per_lane`` instead
-of the tile-frustum cull: every cluster is slab-tested against every
-INDIVIDUAL lane within its own t bound (dense chunked XLA), because a
-tile-level frustum is hostage to its worst lane and lists ~20% of ALL
-clusters for bounce tiles (measured; the per-lane lists are hit-set
-sized).  The closest kernel is branchless packed-key (quantized t |
-local tri id, one min per chunk) with exact (t, u, v, prim) recomputed
-post-trace from the flat geometry table.
+Incoherent (bounce/shadow) traces differ in two ways.  (1) They use
+``cull_clusters_per_lane`` instead of the tile-frustum cull: every
+cluster is slab-tested against every INDIVIDUAL lane within its own t
+bound (dense chunked XLA, supercluster-first above _TWO_LEVEL_MIN_C
+clusters), because a tile-level frustum is hostage to its worst lane
+and lists ~20% of ALL clusters for bounce tiles (measured; the
+per-lane lists are hit-set sized).  (2) They run the kernels at ROW
+granularity — one grid step per 128-ray row, lists/counts per row —
+via overlapping (8, 128) blocks (index map ``t // 8``, each step
+touching only sublane ``t % 8``), since Mosaic rejects sub-8-row
+BlockSpecs outside interpret mode.  Bounce rows share only ~4% of
+their cluster sets with their tile siblings, so row lists are ~4x
+smaller and the front-to-back early-out stops being held open by the
+tile's worst lane.  The closest kernel is branchless packed-key
+(quantized t | local tri id, one min per chunk) with exact (t, u, v,
+prim) recomputed post-trace from the flat geometry table.
 """
 
 from __future__ import annotations
