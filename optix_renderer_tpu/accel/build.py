@@ -193,14 +193,104 @@ def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
     return nrm, uvm
 
 
+def _bvh_from_arrays(arrs: dict) -> "BVH":
+    """Upload the numpy build products (keys = _BVH_NP_FIELDS) once."""
+    f32 = partial(jnp.asarray, dtype=jnp.float32)
+    i32 = partial(jnp.asarray, dtype=jnp.int32)
+    return BVH(
+        tri_tab=f32(arrs["tri_tab"]),
+        geom_tab=f32(arrs["geom_tab"]),
+        attr_tab=(f32(arrs["attr_nrm"]), f32(arrs["attr_uvm"])),
+        cluster_min=f32(arrs["cluster_min"]),
+        cluster_max=f32(arrs["cluster_max"]),
+        node_min=f32(arrs["node_min"]),
+        node_max=f32(arrs["node_max"]),
+        node_skip=i32(arrs["node_skip"]),
+        node_tri_offset=i32(arrs["node_tri_offset"]),
+        node_tri_count=i32(arrs["node_tri_count"]),
+        tri_v0=f32(arrs["tri_v0"]),
+        tri_e1=f32(arrs["tri_e1"]),
+        tri_e2=f32(arrs["tri_e2"]),
+        prim_id=i32(arrs["prim_id"]),
+    )
+
+
+def _bvh_cache_key(tri_verts, leaf_size, tri_normal, tri_mesh, tri_attr,
+                   need_nodes) -> str:
+    """Content hash of everything that determines the build output."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(b"bvhcache-v1")
+    h.update(np.int64(leaf_size).tobytes())
+    h.update(b"nodes" if need_nodes else b"nonodes")
+    for a in (tri_verts, tri_normal, tri_mesh):
+        if a is None:
+            h.update(b"none")
+        else:
+            h.update(np.ascontiguousarray(a).tobytes())
+    if tri_attr is None:
+        h.update(b"none")
+    else:
+        for a in tri_attr:
+            h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+_BVH_NP_FIELDS = (
+    "tri_tab", "geom_tab", "attr_nrm", "attr_uvm", "cluster_min",
+    "cluster_max", "node_min", "node_max", "node_skip", "node_tri_offset",
+    "node_tri_count", "tri_v0", "tri_e1", "tri_e2", "prim_id",
+)
+
+
+def build_bvh_cached(cache_dir, tri_verts, **kwargs) -> "BVH":
+    """build_bvh with a content-addressed on-disk bake cache.
+
+    Acceleration-structure baking, the production answer to rebuild
+    latency (the reference rebuilds its TLAS/BLAS on the GPU every run,
+    viewer.hpp:506-517; a host LBVH over 1M tris costs seconds of numpy
+    here).  The cache key hashes the exact geometry + build parameters,
+    so a stale cache is impossible by construction; entries are plain
+    uncompressed .npz (load is IO-bound, ~0.5 s for a 1M-tri scene vs a
+    multi-second rebuild).  ``cache_dir=None`` just builds.
+    """
+    import os
+
+    if cache_dir is None:
+        return build_bvh(tri_verts, **kwargs)
+    need_nodes = (tri_verts.shape[0] <= 4096
+                  or jax.default_backend() == "cpu")
+    key = _bvh_cache_key(
+        tri_verts, kwargs.get("leaf_size", 4), kwargs.get("tri_normal"),
+        kwargs.get("tri_mesh"), kwargs.get("tri_attr"), need_nodes)
+    path = os.path.join(cache_dir, f"bvh-{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return _bvh_from_arrays({f: z[f] for f in _BVH_NP_FIELDS})
+    arrs = build_bvh(tri_verts, _as_arrays=True, **kwargs)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrs)
+    os.replace(tmp, path)  # atomic: concurrent renderers see all or nothing
+    return _bvh_from_arrays(arrs)
+
+
 def build_bvh(
     tri_verts: np.ndarray,
     leaf_size: int = 4,
     tri_normal: np.ndarray | None = None,
     tri_mesh: np.ndarray | None = None,
     tri_attr: np.ndarray | None = None,
-) -> BVH:
+    _as_arrays: bool = False,
+) -> "BVH | dict":
     """Build from (T, 3, 3) float32 triangle vertices.
+
+    ``_as_arrays=True`` returns the numpy build products instead of an
+    uploaded BVH — the cacheable representation (build_bvh_cached), kept
+    host-side because a device read-back would cross the slow D2H
+    tunnel.
 
     ``tri_attr`` is the (nrm, uvm) per-triangle attribute table pair
     (see BVH.attr_tab / pack_attr_tab) in ORIGINAL triangle order, stored
@@ -258,8 +348,6 @@ def build_bvh(
     np.maximum.at(cmax, cid, s_max)
 
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-    f32 = partial(jnp.asarray, dtype=jnp.float32)
-    i32 = partial(jnp.asarray, dtype=jnp.int32)
     tab_kwargs = dict(
         normal=None if tri_normal is None else np.asarray(tri_normal)[order],
         mesh_id=None if tri_mesh is None else np.asarray(tri_mesh)[order],
@@ -267,11 +355,14 @@ def build_bvh(
     )
     if T > 4096:  # big-scene tier: cluster-grouped layout (pallas_cluster)
         tri_tab = pack_tri_table_grouped(
-            v0, e1, e2, order, cluster_min=cmin, cluster_max=cmax, **tab_kwargs
+            v0, e1, e2, order, cluster_min=cmin, cluster_max=cmax,
+            as_numpy=True, **tab_kwargs
         )
-        geom_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB)
+        geom_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB,
+                                  as_numpy=True)
     else:  # brute tier: flat (Tpad, 16) rows (pallas_trace)
-        tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB, **tab_kwargs)
+        tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB,
+                                 as_numpy=True, **tab_kwargs)
         geom_tab = tri_tab  # same flat layout: alias, no extra memory
     if T <= 4096:
         attr_tab = (np.zeros((1, ATTR_NRM_COLS), np.float32),
@@ -295,19 +386,21 @@ def build_bvh(
             np.repeat(rep[:, None, :], 3, axis=1),
             np.zeros((T, 3, 2), np.float32), mesh, orig_area,
         )
-    return BVH(
-        tri_tab=tri_tab,
-        geom_tab=geom_tab,
-        attr_tab=tuple(jnp.asarray(a) for a in attr_tab),
-        cluster_min=f32(cmin),
-        cluster_max=f32(cmax),
-        node_min=f32(bmin),
-        node_max=f32(bmax),
-        node_skip=i32(skip),
-        node_tri_offset=i32(np.where(leaf, start, 0)),
-        node_tri_count=i32(np.where(leaf, end - start, 0)),
-        tri_v0=f32(v0),
-        tri_e1=f32(e1),
-        tri_e2=f32(e2),
-        prim_id=i32(order),
-    )
+    arrs = {
+        "tri_tab": tri_tab,
+        "geom_tab": geom_tab,
+        "attr_nrm": attr_tab[0],
+        "attr_uvm": attr_tab[1],
+        "cluster_min": cmin,
+        "cluster_max": cmax,
+        "node_min": bmin,
+        "node_max": bmax,
+        "node_skip": skip,
+        "node_tri_offset": np.where(leaf, start, 0),
+        "node_tri_count": np.where(leaf, end - start, 0),
+        "tri_v0": v0,
+        "tri_e1": e1,
+        "tri_e2": e2,
+        "prim_id": order,
+    }
+    return arrs if _as_arrays else _bvh_from_arrays(arrs)

@@ -165,7 +165,7 @@ def _pack_tri_table_np(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
 
 
 def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
-                   area=None, pad_to: int = TRI_SUB) -> jnp.ndarray:
+                   area=None, pad_to: int = TRI_SUB, as_numpy: bool = False):
     """(Tpad, 16) f32 table; rows padded to ``pad_to`` with degenerate
     triangles (e1=e2=0 -> det=0, never hit).
 
@@ -175,10 +175,11 @@ def pack_tri_table(tri_v0, tri_e1, tri_e2, prim_id, normal=None, mesh_id=None,
     hit attributes during traversal instead of gathering per lane after
     (XLA per-lane gathers measured 57 ms / 1M rays on v5e).
     """
-    return jnp.asarray(_pack_tri_table_np(
+    tab = _pack_tri_table_np(
         tri_v0, tri_e1, tri_e2, prim_id,
         normal=normal, mesh_id=mesh_id, area=area, pad_to=pad_to,
-    ))
+    )
+    return tab if as_numpy else jnp.asarray(tab)
 
 
 GROUP_CLUSTER = 64  # triangles per grouped-layout cluster (8 groups x 8 sublanes)
@@ -186,7 +187,8 @@ GROUP_CLUSTER = 64  # triangles per grouped-layout cluster (8 groups x 8 sublane
 
 def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
                            mesh_id=None, area=None,
-                           cluster_min=None, cluster_max=None) -> jnp.ndarray:
+                           cluster_min=None, cluster_max=None,
+                           as_numpy: bool = False):
     """(C*8, 128) f32 cluster-grouped table for the big-scene tier.
 
     Each 64-triangle cluster is one DMA-aligned (8, 128) block: triangle
@@ -219,7 +221,8 @@ def pack_tri_table_grouped(tri_v0, tri_e1, tri_e2, prim_id, normal=None,
     )  # (C, 6)
     for g in range(6):
         a[:, g, :, 15] = bounds[:, g][:, None]
-    return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(C * 8, 128))
+    out = a.transpose(0, 2, 1, 3).reshape(C * 8, 128)
+    return out if as_numpy else jnp.asarray(out)
 
 
 def _to_planes(rays: Ray, n_pad: int):

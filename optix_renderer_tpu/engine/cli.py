@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=0, metavar="N",
                    help="shard the render over N devices (image rows; needs height %% N == 0)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--bvh-cache", metavar="DIR", default=None,
+                   help="bake/reuse the acceleration structure in DIR "
+                        "(content-addressed; stale-proof)")
     p.add_argument("--serve", type=int, nargs="?", const=8000, default=None,
                    metavar="PORT",
                    help="start the live HTTP viewer (orbit camera, runtime "
@@ -137,7 +140,8 @@ def main(argv=None) -> int:
         jax.devices()[0].device_kind,
     )
 
-    r = Renderer(scene, width=width, height=height, mode=mode, path_depth=args.depth)
+    r = Renderer(scene, width=width, height=height, mode=mode,
+                 path_depth=args.depth, bvh_cache_dir=args.bvh_cache)
     cam = scene.cameras[args.camera if args.camera < len(scene.cameras) else 0]
     if any(v is not None for v in (args.cam_from, args.cam_to, args.cam_up, args.cam_fovy)):
         cam = SceneCamera(

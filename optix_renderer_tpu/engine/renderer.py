@@ -281,6 +281,7 @@ class Renderer:
         path_depth: int = 10,
         ratio_samples: int = 4,
         leaf_size: int = 4,
+        bvh_cache_dir: str | None = None,
     ):
         self.scene = scene
         self.width = int(width or scene.img_width)
@@ -315,7 +316,10 @@ class Renderer:
             tri_attr = pack_attr_tab(
                 n_corner, uv_corner, host["tri_mesh"], area
             )
-        self.bvh = build_bvh(
+        from ..accel.build import build_bvh_cached
+
+        self.bvh = build_bvh_cached(
+            bvh_cache_dir,
             tri_verts,
             leaf_size=leaf_size,
             tri_normal=norms,

@@ -1,5 +1,6 @@
 """BVH build + traversal validated ray-for-ray against the brute-force oracle."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -126,3 +127,39 @@ def test_trace_any_tmax():
     rays = Ray(origin=jnp.asarray([[0.2, 0.2, 0.0]]), direction=jnp.asarray([[0.0, 0.0, 1.0]]))
     assert bool(trace_any(bvh, rays, t_max=jnp.asarray([2.0]))[0])
     assert not bool(trace_any(bvh, rays, t_max=jnp.asarray([0.5]))[0])
+
+
+def test_bvh_cache_roundtrip(tmp_path):
+    """build_bvh_cached must return the exact same BVH from a cache hit
+    as from a build, key on content (different leaf_size = different
+    entry), and never serve a stale entry for different geometry."""
+    import jax.numpy as jnp
+
+    from optix_renderer_tpu.accel.build import build_bvh, build_bvh_cached
+
+    rng = np.random.default_rng(5)
+    tv = rng.random((600, 3, 3)).astype(np.float32)
+    d = str(tmp_path / "bake")
+
+    cold = build_bvh_cached(d, tv, leaf_size=4)
+    files = list((tmp_path / "bake").glob("bvh-*.npz"))
+    assert len(files) == 1
+    warm = build_bvh_cached(d, tv, leaf_size=4)
+    import dataclasses
+
+    ref = build_bvh(tv, leaf_size=4)
+    for fld in dataclasses.fields(ref):
+        f = fld.name
+        a, b, c = getattr(ref, f), getattr(cold, f), getattr(warm, f)
+        for x, y, z in zip(jax.tree.leaves(a), jax.tree.leaves(b), jax.tree.leaves(c)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+
+    # a different build parameter or geometry is a different cache entry
+    build_bvh_cached(d, tv, leaf_size=8)
+    tv2 = tv.copy()
+    tv2[0, 0, 0] += 1.0
+    other = build_bvh_cached(d, tv2, leaf_size=4)
+    assert len(list((tmp_path / "bake").glob("bvh-*.npz"))) == 3
+    assert not np.array_equal(
+        np.asarray(other.tri_v0), np.asarray(warm.tri_v0))
