@@ -35,7 +35,8 @@ def main():
     if not os.path.exists(os.path.join(d, "scene.json")):
         write_terrain_scene(d, grid=grid)
     scene = parse_scene(os.path.join(d, "scene.json"))
-    r = Renderer(scene, width=1024, height=1024, mode=RendererType.NORMALS)
+    r = Renderer(scene, width=1024, height=1024, mode=RendererType.NORMALS,
+                 bvh_cache_dir="/tmp/bvhcache-bench")
     bvh = r.bvh
     C = bvh.cluster_min.shape[0]
     print(f"tris={bvh.tri_v0.shape[0]} clusters={C}")

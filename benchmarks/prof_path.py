@@ -58,7 +58,7 @@ def main():
         if a == "--res":
             res_wh = int(sys.argv[i + 1])
     r = Renderer(scene, width=res_wh, height=res_wh, mode=RendererType.PATH,
-                 path_depth=4)
+                 path_depth=4, bvh_cache_dir="/tmp/bvhcache-bench")
     ds, bvh = r.device_scene, r.bvh
     C = bvh.cluster_min.shape[0]
     print(f"tris={bvh.tri_v0.shape[0]} clusters={C}")

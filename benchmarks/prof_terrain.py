@@ -45,7 +45,8 @@ def main():
         write_terrain_scene(d, grid=grid)
     scene = parse_scene(os.path.join(d, "scene.json"))
     t0 = time.perf_counter()
-    r = Renderer(scene, width=1024, height=1024, mode=RendererType.NORMALS)
+    r = Renderer(scene, width=1024, height=1024, mode=RendererType.NORMALS,
+                 bvh_cache_dir="/tmp/bvhcache-bench")
     print(f"load+build: {time.perf_counter()-t0:.1f}s  tris={r.bvh.tri_v0.shape[0]}"
           f"  clusters={r.bvh.cluster_min.shape[0]}")
 
