@@ -103,20 +103,24 @@ def main():
     srays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
     srays = jax.block_until_ready(srays)
 
-    tiles = -(-n // pc.TILE)
-    n_pad = tiles * pc.TILE
-    maxv = pc._pad128(min(pc._SC_KEEP * pc._SC_GROUP, C))
+    # match the refine path's actual granularity (row mode by default)
+    row = pc._ROW_BOUNCE
+    tile = pc.LANES if row else pc.TILE
+    n_pad = -(-n // (8 * pc.LANES)) * (8 * pc.LANES)
+    maxv = (pc._pad128(min(pc._ROW_MAX_VISITS, C)) if row
+            else pc._pad128(min(pc._SC_KEEP * pc._SC_GROUP, C)))
     f_tb = jax.jit(lambda ry: pc.ray_t_bounds(
         bvh.cluster_min, bvh.cluster_max, ry, pc._INF))
     res, t_eff = timeit(f_tb, srays, iters=3, warmup=1)
     print(f"  bounce ray_t_bounds: {res['amortized_s']*1e3:.1f} ms")
     f_cull = jax.jit(lambda ry, te: pc.cull_clusters_per_lane(
-        bvh.cluster_min, bvh.cluster_max, ry, te, n_pad, maxv))
+        bvh.cluster_min, bvh.cluster_max, ry, te, n_pad, maxv, tile))
     res, cull_out = timeit(f_cull, srays, t_eff, iters=3, warmup=1)
     cnts = np.asarray(cull_out[1])
+    unit = "row" if row else "tile"
     print(f"  bounce per-lane cull: {res['amortized_s']*1e3:.1f} ms  "
-          f"visits/tile mean={cnts.mean():.0f} p95={np.percentile(cnts,95):.0f} "
-          f"overflow_tiles={(np.asarray(cull_out[3])>0).sum()}")
+          f"visits/{unit} mean={cnts.mean():.0f} p95={np.percentile(cnts,95):.0f} "
+          f"overflow_{unit}s={(np.asarray(cull_out[3])>0).sum()}")
     interp = "--cpu" in sys.argv  # CPU smoke: Pallas needs interpret mode
     f_tr = jax.jit(lambda ry: pc.trace_closest_clusters(
         bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, ry,
