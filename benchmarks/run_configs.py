@@ -160,6 +160,21 @@ def main():
         "mrays_per_sec": round(size * size / res["amortized_s"] / 1e6, 2),
     })
 
+    # config 5b: terrain PATH depth-4 — the big-scene INCOHERENT-ray gate
+    # (bounce + NEE shadow traces through the row-granularity refine
+    # path); one warm frame, self-syncing render()
+    r5p = Renderer(terrain, width=size, height=size, mode=RendererType.PATH,
+                   path_depth=4)
+    r5p.render(1)  # warm compile (frame cost is accum-id independent)
+    t0 = time.perf_counter()
+    r5p.render(1)
+    t_frame = time.perf_counter() - t0
+    results.append({
+        "config": f"5b: terrain {r5p.device_scene.num_tris} tris, "
+                  f"PATH depth-4 {size}^2 x 1spp",
+        "frame_s": round(t_frame, 2),
+    })
+
     # config 6: committed multi-texture gallery (Model.cpp:164-242 loader
     # workload) — texture-path perf, PATH + analytic LTC
     gallery = parse_scene(os.path.join(HERE, "..", "scenes", "gallery", "scene.json"))
