@@ -143,10 +143,13 @@ def main():
     if "--skip-frame" not in sys.argv:
         import time as _t
         t0 = _t.perf_counter()
-        r.render(1)
+        r.render(1)  # cold: includes jit compile of the depth-4 graph
+        cold = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        r.render(1)  # warm: the recorded per-frame cost
         dt = _t.perf_counter() - t0
-        print(f"PATH depth-4 full frame: {dt:.2f} s "
-              f"({n/dt/1e6:.2f} Mpaths/s)")
+        print(f"PATH depth-4 full frame: {dt:.2f} s warm "
+              f"({n/dt/1e6:.2f} Mpaths/s; cold incl. compile {cold:.2f} s)")
 
 
 if __name__ == "__main__":

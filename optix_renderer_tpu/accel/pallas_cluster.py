@@ -52,16 +52,17 @@ cluster is slab-tested against every INDIVIDUAL lane within its own t
 bound (dense chunked XLA, supercluster-first above _TWO_LEVEL_MIN_C
 clusters), because a tile-level frustum is hostage to its worst lane
 and lists ~20% of ALL clusters for bounce tiles (measured; the
-per-lane lists are hit-set sized).  (2) They run the kernels at ROW
-granularity — one grid step per 128-ray row, lists/counts per row —
-via overlapping (8, 128) blocks (index map ``t // 8``, each step
-touching only sublane ``t % 8``), since Mosaic rejects sub-8-row
-BlockSpecs outside interpret mode.  Bounce rows share only ~4% of
-their cluster sets with their tile siblings, so row lists are ~4x
-smaller and the front-to-back early-out stops being held open by the
-tile's worst lane.  The closest kernel is branchless packed-key
-(quantized t | local tri id, one min per chunk) with exact (t, u, v,
-prim) recomputed post-trace from the flat geometry table.
+per-lane lists are hit-set sized).  (2) Optionally (OPTIX_TPU_ROW_BOUNCE,
+default OFF) they run the kernels at ROW granularity — one grid step per
+128-ray row, lists/counts per row — via overlapping (8, 128) blocks
+(index map ``t // 8``, each step touching only sublane ``t % 8``), since
+Mosaic rejects sub-8-row BlockSpecs outside interpret mode.  Row lists
+are ~4x smaller, but hardware A/Bs measured row mode strictly worse
+(see the _ROW_BOUNCE comment): 8x more rows swamps the smaller lists,
+and per-visit MT cost is vreg-quantized so it does not shrink.  The
+closest kernel is branchless packed-key (quantized t | local tri id,
+one min per chunk) with exact (t, u, v, prim) recomputed post-trace
+from the flat geometry table.
 """
 
 from __future__ import annotations
@@ -322,17 +323,21 @@ _TWO_LEVEL_MIN_C = int(os.environ.get("OPTIX_TPU_TWO_LEVEL_MIN_C", "4096"))
 # superclusters at some lane, so the cap is the same 64 by default;
 # overflow is checked identically
 _SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "64"))
-# incoherent traces run the kernels at ROW granularity (one grid step
-# per 128-ray row): bounce rows share only ~4% of their cluster sets
-# with their tile siblings (ROADMAP), so row lists are ~4x smaller AND
-# the front-to-back early-out bound stops being hostage to the tile's
-# worst lane.  _ROW_MAX_VISITS caps the per-row list width (overflow is
-# checked, as everywhere).
-_ROW_BOUNCE = os.environ.get("OPTIX_TPU_ROW_BOUNCE", "1") == "1"
+# ROW-granularity kernels (one grid step per 128-ray row) were built on
+# the ~4x-smaller-per-row-list observation, but measured STRICTLY WORSE
+# on hardware for terrain bounces: 4x-smaller lists x 8x more rows =
+# 2.4x more total visits (2.0M vs 0.84M), and every visit pays the full
+# (8, 128)-vreg Moller-Trumbore regardless of how many sublanes are
+# live, so per-visit cost does not shrink with row granularity
+# (terrain bounce closest trace 10.8 s row vs 3.9 s tile, round 4).
+# Default OFF; env-gated for A/Bs.  _ROW_MAX_VISITS caps the per-row
+# list width (overflow is checked, as everywhere).
+_ROW_BOUNCE = os.environ.get("OPTIX_TPU_ROW_BOUNCE", "0") == "1"
 _ROW_MAX_VISITS = int(os.environ.get("OPTIX_TPU_ROW_MAX_VISITS", "1536"))
 
 
-def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE):
+def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE,
+                  single_level: bool = False):
     """Per-tile front-to-back cluster lists via one packed top_k.
 
     Returns (lists (tiles, max_visits) i32 packed [nearq | cid],
@@ -358,7 +363,11 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
     o_lo, o_hi, d_lo, d_hi, t_hi = _tile_bounds(rays, t_max, n_pad, tile)
     cb = _cid_bits(C)
 
-    use_two_level = C > _TWO_LEVEL_MIN_C and C > _SC_CAND * _SC_GROUP
+    # single_level=True: no supercluster cap, so with max_visits >=
+    # _pad128(C) the result can NEVER overflow — the mode the checked
+    # fallback uses to stay exact in one bounded extra pass
+    use_two_level = (not single_level
+                     and C > _TWO_LEVEL_MIN_C and C > _SC_CAND * _SC_GROUP)
     if not use_two_level:
         comps = ([cluster_min[:, a][None, :] for a in range(3)]
                  + [cluster_max[:, a][None, :] for a in range(3)])
@@ -428,7 +437,8 @@ def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_vi
 
 
 def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
-                           n_pad: int, max_visits: int, tile: int = TILE):
+                           n_pad: int, max_visits: int, tile: int = TILE,
+                           single_level: bool = False):
     """PER-LANE cull for incoherent rays (same contract as
     :func:`cull_clusters`).
 
@@ -520,7 +530,10 @@ def cull_clusters_per_lane(cluster_min, cluster_max, rays: Ray, t_max,
     cbits = _cid_bits(C)
     maxv = max_visits
     G = _SC_GROUP
-    use_two_level = C > _TWO_LEVEL_MIN_C and C > _SC_CAND_LANE * G
+    # single_level=True: see cull_clusters — the overflow-free mode the
+    # checked fallback re-culls with
+    use_two_level = (not single_level
+                     and C > _TWO_LEVEL_MIN_C and C > _SC_CAND_LANE * G)
 
     if not use_two_level:
         comps = ([cluster_min[:, a] for a in range(3)]
@@ -982,15 +995,6 @@ def _grid_spec(tiles: int, maxv: int, n_out: int, shared_lists: bool,
     )
 
 
-def _full_lists(C: int):
-    """One shared unsorted full cluster list (near bits = 0): the fallback
-    pass has no ordering (no early-out) but visits every cluster, and the
-    per-lane AABB pretest keeps skipped clusters cheap."""
-    maxv_full = -(-C // 128) * 128
-    ids = jnp.minimum(jnp.arange(maxv_full, dtype=jnp.int32), C - 1)
-    return ids.reshape(8, maxv_full // 8), maxv_full
-
-
 def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
@@ -1113,21 +1117,38 @@ def trace_closest_clusters(
     outs = tuple(run(lists, counts, scales, maxv, False, key_cold, cid_cold))
 
     if C > maxv:  # overflow possible: checked fallback
-        # The fallback re-traces unresolved tiles WARM-STARTED from the
-        # first pass's keys: front-to-back + an already-achieved t bound
-        # means it only visits clusters that could still improve, instead
-        # of the full list cold (measured 42 s/frame on terrain PATH
-        # depth-4, where incoherent bounce tiles overflow every trace).
+        # The fallback RE-CULLS unresolved tiles with the achieved
+        # per-lane hit distance as the t bound, single-level (no
+        # supercluster cap) at full list width — so it cannot overflow
+        # again — and re-traces warm-started from the first pass's keys.
+        # The pass-2 lists are therefore (a) minimal: only clusters some
+        # lane could still improve inside survive the per-lane `near <
+        # t_achieved` test, and (b) near-SORTED, so the kernel's
+        # front-to-back early-out works.  The previous unsorted full-list
+        # fallback (near bits 0 => the cut never fires) measured 10.8 s
+        # for ONE bounce trace on terrain PATH (2383 overflowing rows x
+        # 15.6k clusters of pretest+DMA machinery).
         t_tile = _key_t_up(outs[0]).reshape(grid_n, -1).max(axis=1)
         unresolved = (overflow > 0) & (t_tile > near_dropped)
         any_un = jnp.any(unresolved)
-
-        lists_full, maxv_full = _full_lists(C)
-        zscale = jnp.zeros((grid_n,), jnp.float32)
+        maxv_full = _pad128(C)
 
         def fallback(o):
-            counts_f = jnp.where(unresolved, jnp.int32(C), 0)
-            outs_f = run(lists_full, counts_f, zscale, maxv_full, True, o[0], o[1])
+            # per-lane bound: conservative upper decode of the achieved
+            # key (>= true best t; t_eff where no hit).  Any cluster
+            # holding an improving triangle has near <= t_true < bound,
+            # so the re-cull keeps it; resolved tiles' lanes get t=0 so
+            # their lists are empty and counts are masked off anyway.
+            t_up = jnp.minimum(_key_t_up(o[0]).reshape(-1)[:n], t_eff)
+            lane_un = jnp.repeat(unresolved, n_pad // grid_n)[:n]
+            t2 = jnp.where(lane_un, t_up, 0.0)
+            cull2 = cull_clusters_per_lane if refine else cull_clusters
+            l2, c2, s2, _, _ = cull2(
+                cluster_min, cluster_max, rays, t2, n_pad, maxv_full,
+                tile, single_level=True)
+            counts_f = jnp.where(unresolved, c2, 0)
+            outs_f = run(l2.reshape(grid_n * 8, maxv_full // 8), counts_f,
+                         s2, maxv_full, False, o[0], o[1])
             m = jnp.repeat(unresolved, out_rep)[:, None]
             return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
 
@@ -1211,15 +1232,26 @@ def trace_any_clusters(
         all_occ = occ.reshape(grid_n, -1).min(axis=1) > 0
         unresolved = (overflow > 0) & ~all_occ
         any_un = jnp.any(unresolved)
-
-        lists_full, maxv_full = _full_lists(C)
-        zscale = jnp.zeros((grid_n,), jnp.float32)
+        maxv_full = _pad128(C)
 
         def fallback(o):
-            counts_f = jnp.where(unresolved, jnp.int32(C), 0)
-            occ_f = run(lists_full, counts_f, zscale, maxv_full, True)
-            m = jnp.repeat(unresolved, out_rep)[:, None]
-            return jnp.where(m, occ_f, o)
+            # re-cull with t=0 for lanes already occluded (or outside
+            # unresolved tiles): pass-2 lists hold only clusters some
+            # still-unoccluded lane overlaps in range, single-level at
+            # full width so they cannot overflow.  Pass-2 re-tests from
+            # scratch, so OR-merge keeps pass-1 occlusions (whose
+            # clusters were deliberately culled out of pass 2).
+            lane_open = (o.reshape(-1)[:n] == 0) & jnp.repeat(
+                unresolved, n_pad // grid_n)[:n]
+            t2 = jnp.where(lane_open, t_eff, 0.0)
+            cull2 = cull_clusters_per_lane if refine else cull_clusters
+            l2, c2, s2, _, _ = cull2(
+                cluster_min, cluster_max, rays, t2, n_pad, maxv_full,
+                tile, single_level=True)
+            counts_f = jnp.where(unresolved, c2, 0)
+            occ_f = run(l2.reshape(grid_n * 8, maxv_full // 8), counts_f,
+                        s2, maxv_full, False)
+            return o | occ_f
 
         occ = jax.lax.cond(any_un, fallback, lambda o: o, occ)
         stats = {

@@ -513,6 +513,7 @@ def test_row_mode_overflow_is_checked(big_setup, monkeypatch):
     # instead: force the two-level per-lane cull with a 2-supercluster
     # cap, so rows overlapping more superclusters overflow and must be
     # resolved by the full-list fallback
+    monkeypatch.setattr(pc, "_ROW_BOUNCE", True)     # row mode is opt-in
     monkeypatch.setattr(pc, "_ROW_MAX_VISITS", 16)   # floor: 128 entries
     monkeypatch.setattr(pc, "_TWO_LEVEL_MIN_C", 1)
     monkeypatch.setattr(pc, "_SC_CAND_LANE", 2)
