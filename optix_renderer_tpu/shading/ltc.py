@@ -149,22 +149,35 @@ def integrate_over_polygon(
 ) -> jnp.ndarray:
     """Summed LTC radiance over all lights (ltc_utils.cuh:47-127), (R, 3).
 
-    Layout: every intermediate is a SEPARATE (L, R) array per vector
-    component — rays on the minor (lane) axis, lights/slots as cheap
-    leading axes.  The previous (R, L, 5, 3)-shaped pipeline padded the
-    trailing triple 3 -> 128 TPU lanes (~42x VPU waste; measured 6.9 ms
-    for the whole LTC frame stage at 512^2 x 2 lights — this layout is
-    the fix, same arithmetic).
+    Layout: every intermediate is a SEPARATE flat (L*R,) array per vector
+    component, rays dense on the minor axis.  Two earlier layouts were
+    measurably worse: an (R, L, 5, 3)-shaped pipeline padded the trailing
+    triple 3 -> 128 TPU lanes (~42x VPU waste; 6.9 ms for the LTC frame
+    stage at 512^2 x 2 lights), and the (L, R) two-axis version that fixed
+    it still padded the L-sized sublane axis 2 -> 8 (75% of every vreg
+    dead at 2 tri-lights).  Flat 1-D arrays tile densely regardless of the
+    light count; the per-light/per-ray broadcasts become ``repeat``/
+    ``tile`` that XLA fuses into the consumers.  Same arithmetic.
     """
     from .polygon_clip import clip_polygon_c
 
-    px, py, pz = p[:, 0], p[:, 1], p[:, 2]  # (R,)
+    R = p.shape[0]
+    L = light_v1.shape[0]
 
-    def translate(lv):  # (L, 3) light corner -> normalized (L, R) comps
-        tx = lv[:, 0][:, None] - px[None, :]
-        ty = lv[:, 1][:, None] - py[None, :]
-        tz = lv[:, 2][:, None] - pz[None, :]
-        return _norm3c(tx, ty, tz)
+    def per_ray(v):  # (R,) -> (L*R,), light-major
+        return jnp.tile(v, L)
+
+    def per_light(v):  # (L,) -> (L*R,), light-major
+        return jnp.repeat(v, R, total_repeat_length=L * R)
+
+    px, py, pz = (per_ray(p[:, a]) for a in range(3))
+
+    def translate(lv):  # (L, 3) light corner -> normalized (L*R,) comps
+        return _norm3c(
+            per_light(lv[:, 0]) - px,
+            per_light(lv[:, 1]) - py,
+            per_light(lv[:, 2]) - pz,
+        )
 
     l1 = translate(light_v1)
     l2 = translate(light_v2)
@@ -173,7 +186,7 @@ def integrate_over_polygon(
     cgx, cgy, cgz = _norm3c(
         l1[0] + l2[0] + l3[0], l1[1] + l2[1] + l3[1], l1[2] + l2[2] + l3[2]
     )
-    lnx, lny, lnz = (light_normal[:, a][:, None] for a in range(3))
+    lnx, lny, lnz = (per_light(light_normal[:, a]) for a in range(3))
     facing = -(cgx * lnx + cgy * lny + cgz * lnz) >= 0.0  # backface :62-64
 
     # fused per-ray matrices: the reference chains to_local -> normalize
@@ -195,9 +208,9 @@ def integrate_over_polygon(
     mat_a = matmul33(iso_frame, to_local)
     mat_b = matmul33(ltc_mat_inv, mat_a)
 
-    def xform(m, v):  # m: (R, 3, 3) per-ray matrix, v: (L, R) comps
+    def xform(m, v):  # m: (R, 3, 3) per-ray matrix, v: (L*R,) comps
         x, y, z = v
-        mr = lambda i, j: m[:, i, j][None, :]
+        mr = lambda i, j: per_ray(m[:, i, j])
         return _norm3c(
             mr(0, 0) * x + mr(0, 1) * y + mr(0, 2) * z,
             mr(1, 0) * x + mr(1, 1) * y + mr(1, 2) * z,
@@ -227,12 +240,12 @@ def integrate_over_polygon(
 
     diffuse_shading = jnp.where(facing, diffuse_shading, 0.0)
     ggx_shading = jnp.where(facing, ggx_shading, 0.0)
-    amp = amplitude[None, :]  # (1, R)
+    amp = per_ray(amplitude)  # (L*R,)
     out = []
     for a in range(3):
-        e = light_emit[:, a][:, None]  # (L, 1)
-        ch = (diffuse[:, a][None, :] * diffuse_shading + amp * ggx_shading) * e
-        out.append(jnp.sum(ch, axis=0))  # (R,)
+        e = per_light(light_emit[:, a])  # (L*R,)
+        ch = (per_ray(diffuse[:, a]) * diffuse_shading + amp * ggx_shading) * e
+        out.append(jnp.sum(ch.reshape(L, R), axis=0))  # (R,)
     return jnp.stack(out, axis=-1)
 
 
