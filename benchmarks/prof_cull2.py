@@ -25,7 +25,7 @@ def main():
     from optix_renderer_tpu.engine.modes import RendererType
     from optix_renderer_tpu.engine.renderer import Renderer
     from optix_renderer_tpu.engine.shade import (
-        build_surface_interaction_from_cluster,
+        build_surface_interaction_fused,
     )
     from optix_renderer_tpu.scene.config import parse_scene
     from optix_renderer_tpu.scene.procedural import write_terrain_scene
@@ -125,20 +125,20 @@ def main():
     res, _ = timeit(f_cull, rays, t_eff)
     print(f"cull full: {res['amortized_s']*1e3:.2f} ms")
 
-    # shade-only: SI build on a fixed Hit
-    f_tr = jax.jit(lambda ry: pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, cm, cx, ry))
-    hit, _ = f_tr(rays)
-    hit = jax.block_until_ready(hit)
-    f_si = jax.jit(lambda h: build_surface_interaction_from_cluster(
-        r.device_scene, rays, h, bvh.attr_tab).n_geom.sum())
-    res, _ = timeit(f_si, hit)
-    print(f"SI build (full): {res['amortized_s']*1e3:.2f} ms")
-    f_si2 = jax.jit(lambda h: sum(jnp.take(
-        t, jnp.maximum(h.tri_id, 0), axis=0).sum() for t in bvh.attr_tab))
-    res, _ = timeit(f_si2, hit)
-    widths = "+".join(str(t.shape[1]) for t in bvh.attr_tab)
-    print(f"SI attr gathers alone (N,{widths}): "
+    # shade-only: fused SI build on fixed packed kernel outputs
+    f_tr = jax.jit(lambda ry: pc.trace_closest_clusters_packed(
+        bvh.tri_tab, cm, cx, ry)[:2])
+    key, cid = jax.block_until_ready(f_tr(rays))
+    f_si = jax.jit(lambda k, c: build_surface_interaction_fused(
+        r.device_scene, rays, k, c, bvh.shade_tab).n_geom.sum())
+    res, _ = timeit(f_si, key, cid)
+    print(f"SI build (fused decode+shade): {res['amortized_s']*1e3:.2f} ms")
+    tid = jnp.where(cid >= 0, cid * pc.GROUP_CLUSTER + (key & pc._LOCAL_MASK), 0)
+    f_si2 = jax.jit(lambda i: sum(jnp.take(
+        t, i, axis=0).sum() for t in bvh.shade_tab))
+    res, _ = timeit(f_si2, tid)
+    widths = "+".join(str(t.shape[1]) for t in bvh.shade_tab)
+    print(f"SI shade_tab row gathers alone (N,{widths}): "
           f"{res['amortized_s']*1e3:.2f} ms")
 
 

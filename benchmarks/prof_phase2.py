@@ -3,10 +3,9 @@
 Measures, on the 1M-tri terrain primary workload:
   * the Pallas closest kernel alone (lists precomputed),
   * _decode_hits alone (the (N, 16) geom row gather + MT recompute),
-  * build_surface_interaction_from_cluster alone (the (N, 24) attr row
-    gather + mesh one-hot),
-  * componentwise-gather variants of both gathers (N separate (T,)
-    column gathers instead of one (T, K) row gather).
+  * build_surface_interaction_fused alone (the (N, 20) fused shade row
+    gather + exact MT recompute + mesh one-hot),
+  * the raw row gathers alone (isolating gather cost from arithmetic).
 
 Usage: python benchmarks/prof_phase2.py [grid]
 """
@@ -106,19 +105,21 @@ def main():
     res, _ = timeit(gather_row, tri_sorted)
     print(f"  geom row gather (N,{bvh.geom_tab.shape[1]}) alone: {res['amortized_s']*1e3:.2f} ms")
 
-    # SI build (attr row gather + mesh one-hot) alone
-    si_fn = jax.jit(lambda h: shlib.build_surface_interaction_from_cluster(
-        r.device_scene, rays, h, bvh.attr_tab))
-    res, _ = timeit(si_fn, hit)
-    print(f"build_SI_from_cluster (attr (N,{bvh.attr_tab[0].shape[1]}+{bvh.attr_tab[1].shape[1]}) gathers + mesh one-hot): "
-          f"{res['amortized_s']*1e3:.2f} ms")
+    # fused SI build (ONE shade_a row gather + exact MT + mesh one-hot)
+    kf = key.reshape(-1)[:n]
+    cf = cid.reshape(-1)[:n]
+    si_fn = jax.jit(lambda k, c: shlib.build_surface_interaction_fused(
+        r.device_scene, rays, k, c, bvh.shade_tab))
+    res, _ = timeit(si_fn, kf, cf)
+    print(f"build_SI_fused (shade (N,{bvh.shade_tab[0].shape[1]}) gather + "
+          f"MT recompute + mesh one-hot): {res['amortized_s']*1e3:.2f} ms")
 
     @jax.jit
-    def gather_attr_row(idx):
-        return tuple(jnp.take(t, idx, axis=0) for t in bvh.attr_tab)
+    def gather_shade_row(idx):
+        return jnp.take(bvh.shade_tab[0], idx, axis=0)
 
-    res, _ = timeit(gather_attr_row, jnp.maximum(hit.tri_id, 0))
-    print(f"  attr row gather alone: {res['amortized_s']*1e3:.2f} ms")
+    res, _ = timeit(gather_shade_row, tri_sorted)
+    print(f"  shade_a row gather alone: {res['amortized_s']*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -69,15 +69,18 @@ class BVH:
     # (t, u, v) — the kernel itself only tracks a packed (quantized t |
     # local id) min-key.  Aliases tri_tab on the small-scene tier (same
     # layout).
-    attr_tab: tuple  # per-triangle shading attributes in ORIGINAL tri
-    # order, SPLIT by consumer so jit DCE drops what a mode never reads
-    # (NORMALS never gathers uvs/mesh; DIFFUSE never gathers normals):
-    #   [0] (T, ATTR_NRM_COLS) f32 [n1(3) n2(3) n3(3) pad(3)]
-    #   [1] (T, ATTR_UVM_COLS) f32 [uv1(2) uv2(2) uv3(2) mesh_id area]
-    # Together they are the cluster tier's post-trace attribute source
-    # (packed row gathers by tri_id replace both the reference's SBT
-    # record fetch and barycentric attribute interpolation inputs,
-    # hit_miss.cuh:14-50); (1, cols) dummies on the brute tier
+    shade_tab: tuple  # fused per-triangle decode+shade rows in SORTED
+    # (Morton) order — ONE row gather by the kernel's winning sorted id
+    # replaces the old geom-decode + attribute gathers (the TPU row
+    # gather is per-row bound, so gather COUNT, not width, dominates):
+    #   [0] (Tpad, SHADE_A_COLS) f32 [v0(3) e1(3) e2(3) n1..n3(9) mesh
+    #       prim] — exact (t, u, v) recompute + interpolated normal +
+    #       the mesh record id, everything every shading mode needs
+    #   [1] (Tpad, SHADE_B_COLS) f32 [uv1(2) uv2(2) uv3(2) pad(2)] —
+    #       gathered only when a mode reads uvs/textures (jit DCE)
+    # Triangle area is recomputed from cross(e1, e2).  Replaces the
+    # reference's SBT record fetch + barycentric attribute interpolation
+    # inputs (hit_miss.cuh:14-50); (1, cols) dummies on the brute tier
 
     @property
     def num_nodes(self) -> int:
@@ -174,6 +177,8 @@ def _range_aabbs(start, end, leaf, skip, s_min, s_max, leaf_size):
 CLUSTER_SIZE = 64  # triangles per cluster (big-scene Pallas tier)
 ATTR_NRM_COLS = 12  # corner-normal group row width (9 used)
 ATTR_UVM_COLS = 8   # uv/mesh/area group row width (8 used)
+SHADE_A_COLS = 20  # fused decode+shade group A row width (see BVH.shade_tab)
+SHADE_B_COLS = 8   # group B row width (6 used)
 
 
 def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
@@ -200,7 +205,7 @@ def _bvh_from_arrays(arrs: dict) -> "BVH":
     return BVH(
         tri_tab=f32(arrs["tri_tab"]),
         geom_tab=f32(arrs["geom_tab"]),
-        attr_tab=(f32(arrs["attr_nrm"]), f32(arrs["attr_uvm"])),
+        shade_tab=(f32(arrs["shade_a"]), f32(arrs["shade_b"])),
         cluster_min=f32(arrs["cluster_min"]),
         cluster_max=f32(arrs["cluster_max"]),
         node_min=f32(arrs["node_min"]),
@@ -221,7 +226,7 @@ def _bvh_cache_key(tri_verts, leaf_size, tri_normal, tri_mesh, tri_attr,
     import hashlib
 
     h = hashlib.sha1()
-    h.update(b"bvhcache-v1")
+    h.update(b"bvhcache-v2")  # v2: fused shade_a/shade_b gather groups
     h.update(np.int64(leaf_size).tobytes())
     h.update(b"nodes" if need_nodes else b"nonodes")
     for a in (tri_verts, tri_normal, tri_mesh):
@@ -238,7 +243,7 @@ def _bvh_cache_key(tri_verts, leaf_size, tri_normal, tri_mesh, tri_attr,
 
 
 _BVH_NP_FIELDS = (
-    "tri_tab", "geom_tab", "attr_nrm", "attr_uvm", "cluster_min",
+    "tri_tab", "geom_tab", "shade_a", "shade_b", "cluster_min",
     "cluster_max", "node_min", "node_max", "node_skip", "node_tri_offset",
     "node_tri_count", "tri_v0", "tri_e1", "tri_e2", "prim_id",
 )
@@ -364,33 +369,49 @@ def build_bvh(
         tri_tab = pack_tri_table(v0, e1, e2, order, pad_to=TRI_SUB,
                                  as_numpy=True, **tab_kwargs)
         geom_tab = tri_tab  # same flat layout: alias, no extra memory
-    if T <= 4096:
-        attr_tab = (np.zeros((1, ATTR_NRM_COLS), np.float32),
-                    np.zeros((1, ATTR_UVM_COLS), np.float32))
-    elif tri_attr is not None:
-        attr_tab = (np.asarray(tri_attr[0], np.float32),
-                    np.asarray(tri_attr[1], np.float32))
-        assert attr_tab[0].shape == (T, ATTR_NRM_COLS)
-        assert attr_tab[1].shape == (T, ATTR_UVM_COLS)
+    if T <= 4096:  # brute tier shades via scene.device.tri_pack one-hot
+        shade_a = np.zeros((1, SHADE_A_COLS), np.float32)
+        shade_b = np.zeros((1, SHADE_B_COLS), np.float32)
     else:
-        # geometry-only default: flat representative normals, zero uv
-        rep = (np.zeros((T, 3), np.float32) if tri_normal is None
-               else np.asarray(tri_normal, np.float32))
-        mesh = (np.zeros(T, np.int32) if tri_mesh is None
-                else np.asarray(tri_mesh))
-        v0o = tri_verts[:, 0]
-        orig_area = 0.5 * np.linalg.norm(
-            np.cross(tri_verts[:, 1] - v0o, tri_verts[:, 2] - v0o), axis=-1
-        )
-        attr_tab = pack_attr_tab(
-            np.repeat(rep[:, None, :], 3, axis=1),
-            np.zeros((T, 3, 2), np.float32), mesh, orig_area,
-        )
+        if tri_attr is None:
+            # geometry-only default: flat representative normals, zero uv
+            rep = (np.zeros((T, 3), np.float32) if tri_normal is None
+                   else np.asarray(tri_normal, np.float32))
+            mesh = (np.zeros(T, np.int32) if tri_mesh is None
+                    else np.asarray(tri_mesh))
+            tri_attr = pack_attr_tab(
+                np.repeat(rep[:, None, :], 3, axis=1),
+                np.zeros((T, 3, 2), np.float32), mesh,
+                np.zeros(T, np.float32),
+            )
+        nrm_o = np.asarray(tri_attr[0], np.float32)
+        uvm_o = np.asarray(tri_attr[1], np.float32)
+        assert nrm_o.shape == (T, ATTR_NRM_COLS)
+        assert uvm_o.shape == (T, ATTR_UVM_COLS)
+        # ONE fused (sorted-order) decode+shade gather group per consumer
+        # set: post-trace, ONE row gather of group A recomputes exact
+        # (t, u, v) AND interpolates normals AND fetches the mesh id (the
+        # TPU row gather is per-row bound — ~28/40/45/62 ms per 1M rows at
+        # widths 8/16/20/32 on v5e — so three narrow gathers of 16+12+8
+        # cols cost ~1.5x one 20-col gather); group B (uvs) stays separate
+        # so untextured/uv-free modes DCE it.  Triangle area is recomputed
+        # from cross(e1, e2) instead of stored.
+        Tp = -(-T // TRI_SUB) * TRI_SUB
+        shade_a = np.zeros((Tp, SHADE_A_COLS), np.float32)
+        shade_a[:T, 0:3] = v0
+        shade_a[:T, 3:6] = e1
+        shade_a[:T, 6:9] = e2
+        shade_a[:T, 9:18] = nrm_o[order, 0:9]
+        shade_a[:T, 18] = uvm_o[order, 6]  # mesh id (exact f32 < 2^24)
+        shade_a[:T, 19] = order  # original prim id
+        shade_a[T:, 19] = -1.0
+        shade_b = np.zeros((Tp, SHADE_B_COLS), np.float32)
+        shade_b[:T, 0:6] = uvm_o[order, 0:6]
     arrs = {
         "tri_tab": tri_tab,
         "geom_tab": geom_tab,
-        "attr_nrm": attr_tab[0],
-        "attr_uvm": attr_tab[1],
+        "shade_a": shade_a,
+        "shade_b": shade_b,
         "cluster_min": cmin,
         "cluster_max": cmax,
         "node_min": bmin,

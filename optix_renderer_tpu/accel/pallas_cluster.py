@@ -1043,10 +1043,8 @@ def _decode_hits(key, cid, geom_tab, rays, t_eff, n):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret"))
-def trace_closest_clusters(
+def trace_closest_clusters_packed(
     tri_tab: jnp.ndarray,
-    geom_tab: jnp.ndarray,
     cluster_min: jnp.ndarray,
     cluster_max: jnp.ndarray,
     rays: Ray,
@@ -1057,12 +1055,14 @@ def trace_closest_clusters(
     refine: bool = False,
     interpret: bool = False,
 ):
-    """Returns (Hit in ORIGINAL triangle ids, stats dict — see
-    ``zero_trace_stats`` keys).  The kernel tracks only a packed
-    (quantized t | local tri) key + cluster id per lane; exact (t, u, v)
-    and the original prim id are recomputed post-trace from ``geom_tab``
-    (accel.build.BVH.geom_tab, sorted order).  Shading attributes are
-    gathered separately by tri_id from BVH.attr_tab.
+    """Raw packed trace: returns (key (N,) i32, cid (N,) i32, stats).
+
+    ``key`` is the winning (quantized t | local tri id) per lane and
+    ``cid`` its cluster (-1 = miss); the winning SORTED triangle id is
+    ``cid * 64 + (key & 63)``.  The fused decode+shade path
+    (engine.shade) gathers ONE BVH.shade_tab row per lane from these and
+    recomputes exact (t, u, v) itself; :func:`trace_closest_clusters`
+    wraps this with the geom_tab decode for callers that want a Hit.
 
     Exact regardless of ``max_visits``: overflowing tiles whose result is
     not provably complete are re-traced against the full cluster list.
@@ -1161,7 +1161,39 @@ def trace_closest_clusters(
     else:
         stats = zero_trace_stats()
 
-    hit = _decode_hits(outs[0], outs[1], geom_tab, rays, t_eff, n)
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(outs[0]), flat(outs[1]), t_eff, stats
+
+
+@functools.partial(jax.jit, static_argnames=("max_visits", "tile_rows", "refine", "interpret"))
+def trace_closest_clusters(
+    tri_tab: jnp.ndarray,
+    geom_tab: jnp.ndarray,
+    cluster_min: jnp.ndarray,
+    cluster_max: jnp.ndarray,
+    rays: Ray,
+    t_max=_INF,
+    *,
+    max_visits: int = DEFAULT_MAX_VISITS,
+    tile_rows: int = TILE_ROWS,
+    refine: bool = False,
+    interpret: bool = False,
+):
+    """Returns (Hit in ORIGINAL triangle ids, stats dict — see
+    ``zero_trace_stats`` keys).  The kernel tracks only a packed
+    (quantized t | local tri) key + cluster id per lane; exact (t, u, v)
+    and the original prim id are recomputed post-trace from ``geom_tab``
+    (accel.build.BVH.geom_tab, sorted order).  The renderer's hot path
+    skips this Hit materialization entirely and fuses decode into
+    shading (engine.shade via :func:`trace_closest_clusters_packed`).
+    """
+    n = rays.origin.shape[0]
+    key, cid, t_eff, stats = trace_closest_clusters_packed(
+        tri_tab, cluster_min, cluster_max, rays, t_max,
+        max_visits=max_visits, tile_rows=tile_rows, refine=refine,
+        interpret=interpret,
+    )
+    hit = _decode_hits(key, cid, geom_tab, rays, t_eff, n)
     return hit, stats
 
 

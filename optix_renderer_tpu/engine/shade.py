@@ -160,45 +160,83 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def build_surface_interaction_from_cluster(
-    ds: DeviceScene, rays: Ray, hit: Hit, attr_tab: tuple,
-    miss_color: jnp.ndarray | None = None,
+def build_surface_interaction_fused(
+    ds: DeviceScene, rays: Ray, key: jnp.ndarray, cid: jnp.ndarray,
+    shade_tab: tuple, miss_color: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
-    """SurfaceInteraction from a big-scene-tier Hit + the packed attribute
-    tables (accel.build.BVH.attr_tab: the (normals, uv+mesh+area) pair).
+    """SurfaceInteraction straight from the cluster kernel's packed
+    (key, cid) outputs — ONE BVH.shade_tab group-A row gather per lane.
 
-    Row gathers by tri_id supply per-corner normals, uvs, mesh id and
-    area; normals/uvs are barycentric-interpolated and diffuse textures
-    sampled, matching hit_miss.cuh:30-44 at full fidelity.  The per-mesh
-    material row comes from the exact-precision one-hot fetch (the SBT
-    record equivalent).  The two groups are gathered SEPARATELY so jit
-    DCE removes whichever a mode never reads (NORMALS keeps only the
-    normal group; DIFFUSE only the uv/mesh group).
+    The TPU row gather is per-row bound (~28/40/45 ms per 1M rows at
+    widths 8/16/20), so fusing the old three gathers (geom decode 16 +
+    normals 12 + uv/mesh 8 cols) into one 20-col row halves the
+    post-trace cost.  The gathered row supplies v0/e1/e2 for the exact
+    Moller-Trumbore (t, u, v) recompute (bit-identical to the kernel's
+    winner selection inputs), the three corner normals, and the mesh id;
+    triangle area is recomputed from cross(e1, e2).  Group B (corner
+    uvs) is gathered only when a mode reads uvs/textures — jit DCE drops
+    it otherwise.  The per-mesh material row comes from the
+    exact-precision one-hot fetch (the SBT record equivalent).  Matches
+    hit_miss.cuh:14-50 at full fidelity.
     """
+    from ..accel.pallas_cluster import GROUP_CLUSTER, _LOCAL_MASK
+
     if miss_color is None:
         miss_color = ds.miss_color
-    valid = hit.tri_id >= 0
-    p = rays.origin + hit.t[:, None] * rays.direction
+    valid = cid >= 0
+    tri_sorted = jnp.where(valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
+    shade_a, shade_b = shade_tab
+    rows_a = jnp.take(shade_a, tri_sorted, axis=0)  # (N, 20)
+
+    # exact (t, u, v): same arithmetic as accel.pallas_cluster._decode_hits,
+    # componentwise (column slices stay dense on the 128 lanes)
+    c = lambda j: rows_a[:, j]
+    v0x, v0y, v0z = c(0), c(1), c(2)
+    e1x, e1y, e1z = c(3), c(4), c(5)
+    e2x, e2y, e2z = c(6), c(7), c(8)
+    ox, oy, oz = rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2]
+    dx, dy, dz = (rays.direction[:, 0], rays.direction[:, 1],
+                  rays.direction[:, 2])
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+
+    w = 1.0 - u - v
+    n_geom_x = w * c(9) + u * c(12) + v * c(15)
+    n_geom_y = w * c(10) + u * c(13) + v * c(16)
+    n_geom_z = w * c(11) + u * c(14) + v * c(17)
+    n_geom = cm.normalize(
+        jnp.stack([n_geom_x, n_geom_y, n_geom_z], axis=-1), eps=1e-30
+    )
+    mesh_id = c(18).astype(jnp.int32)
+    # area = 0.5 |e1 x e2| (same formula the loader/light lists use)
+    ax = e1y * e2z - e1z * e2y
+    ay = e1z * e2x - e1x * e2z
+    az = e1x * e2y - e1y * e2x
+    area = 0.5 * jnp.sqrt(ax * ax + ay * ay + az * az)
+
+    p = rays.origin + t[:, None] * rays.direction
     vmask = valid[:, None]
     zero3 = jnp.zeros_like(p)
 
-    nrm_tab, uvm_tab = attr_tab
-    tid = jnp.maximum(hit.tri_id, 0)
-    u = hit.bary_u[:, None]
-    v = hit.bary_v[:, None]
-    w = 1.0 - u - v
-    nrows = jnp.take(nrm_tab, tid, axis=0)  # (N, 12)
-    n_geom = cm.normalize(
-        w * nrows[:, 0:3] + u * nrows[:, 3:6] + v * nrows[:, 6:9], eps=1e-30
-    )
-    arows = jnp.take(uvm_tab, tid, axis=0)  # (N, 8)
-    uv = w * arows[:, 0:2] + u * arows[:, 2:4] + v * arows[:, 4:6]
-    uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
-    mesh_id = arows[:, 6].astype(jnp.int32)
-    area = arows[:, 7]
-
     rows = _mesh_attr_rows(ds, jnp.where(valid, mesh_id, 0))
     diffuse = rows[:, 0:3]
+
+    rows_b = jnp.take(shade_b, tri_sorted, axis=0)  # (N, 8); DCE-able
+    uv = jnp.stack([
+        w * rows_b[:, 0] + u * rows_b[:, 2] + v * rows_b[:, 4],
+        w * rows_b[:, 1] + u * rows_b[:, 3] + v * rows_b[:, 5],
+    ], axis=-1)
+    uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
     if ds.has_textures:
         tex_id = rows[:, 9].astype(jnp.int32)
         has_tex = tex_id >= 0
@@ -247,21 +285,6 @@ def _coherence_keys(rays: Ray, lo, hi) -> jnp.ndarray:
     return (octant << 21) | _morton7(q)
 
 
-def _permute_hit(h: Hit, perm: jnp.ndarray) -> Hit:
-    """Reorder a Hit by ``perm`` with ONE packed gather (four separate
-    (N,) gathers would cost ~4x the HBM passes)."""
-    pack = jnp.stack(
-        [h.t, h.tri_id.astype(jnp.float32), h.bary_u, h.bary_v], axis=1
-    )  # (N, 4); ids < 2^24 are exact in f32
-    rows = jnp.take(pack, perm, axis=0)
-    return Hit(
-        t=rows[:, 0],
-        tri_id=rows[:, 1].astype(jnp.int32),
-        bary_u=rows[:, 2],
-        bary_v=rows[:, 3],
-    )
-
-
 def trace_closest_si(
     ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None,
     coherent: bool = True, active: jnp.ndarray | None = None,
@@ -292,7 +315,7 @@ def trace_closest_si(
 
     T = bvh.tri_v0.shape[0]
     if not _on_cpu() and T > PALLAS_BRUTE_MAX_TRIS:
-        from ..accel.pallas_cluster import trace_closest_clusters
+        from ..accel.pallas_cluster import trace_closest_clusters_packed
 
         if active is not None:
             out_o = bvh.cluster_max.max(axis=0) + 1.0  # above everything
@@ -303,8 +326,8 @@ def trace_closest_si(
                 direction=jnp.where(m, rays.direction, up[None, :]),
             )
         if coherent:
-            hit, stats = trace_closest_clusters(
-                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays
+            key, cid, _t_eff, stats = trace_closest_clusters_packed(
+                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
             )
         else:
             lo = bvh.cluster_min.min(axis=0)
@@ -313,15 +336,21 @@ def trace_closest_si(
             od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
             od_s = jnp.take(od, perm, axis=0)
             sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-            hit_s, stats = trace_closest_clusters(
-                bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+            key_s, cid_s, _t_eff, stats = trace_closest_clusters_packed(
+                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max,
                 sorted_rays, refine=True
             )
+            # unsort the TWO packed kernel outputs (winning sorted tri
+            # ids are lane-order independent, so the shade gather happens
+            # after the unsort on the original rays) — one (N, 2) row
+            # gather instead of the old 4-col Hit permute
             n = rays.origin.shape[0]
             inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-            hit = _permute_hit(hit_s, inv)
-        si = build_surface_interaction_from_cluster(
-            ds, rays, hit, bvh.attr_tab, miss_color
+            pack = jnp.stack([key_s, cid_s], axis=1)
+            rows = jnp.take(pack, inv, axis=0)
+            key, cid = rows[:, 0], rows[:, 1]
+        si = build_surface_interaction_fused(
+            ds, rays, key, cid, bvh.shade_tab, miss_color
         )
         return si, stats
     hit = trace_closest(bvh, rays)

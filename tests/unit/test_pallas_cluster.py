@@ -12,7 +12,7 @@ from optix_renderer_tpu.core.types import Ray
 from optix_renderer_tpu.engine import camera as cameralib
 from optix_renderer_tpu.engine.modes import RendererType
 from optix_renderer_tpu.engine.renderer import Renderer
-from optix_renderer_tpu.engine.shade import build_surface_interaction_from_cluster
+from optix_renderer_tpu.engine.shade import build_surface_interaction_fused
 from optix_renderer_tpu.scene import procedural
 from optix_renderer_tpu.scene.config import parse_scene
 
@@ -62,10 +62,12 @@ def test_cluster_closest_matches_brute(setup):
 def test_cluster_si_matches_reference_attrs(setup):
     r, rays = setup
     ds, bvh = r.device_scene, r.bvh
-    ch, _ = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+    key, cid, t_eff, _ = pc.trace_closest_clusters_packed(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
+    ch = pc._decode_hits(key, cid, bvh.geom_tab, rays, t_eff,
+                         rays.origin.shape[0])
+    si = build_surface_interaction_fused(ds, rays, key, cid, bvh.shade_tab)
     m = np.asarray(si.hit)
     tid = np.asarray(ch.tri_id)[m]
 
@@ -202,12 +204,14 @@ def test_cluster_full_fidelity_matches_gather_path(gallery_setup):
     ds, bvh = r.device_scene, r.bvh
     assert ds.num_tris > 4096  # cluster tier
     assert ds.has_textures
-    assert bvh.attr_tab[0].shape[0] == ds.num_tris
+    assert bvh.shade_tab[0].shape[0] >= ds.num_tris
 
-    ch, stats = pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
+    key, cid, t_eff, stats = pc.trace_closest_clusters_packed(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, interpret=True
     )
-    si_c = build_surface_interaction_from_cluster(ds, rays, ch, bvh.attr_tab)
+    ch = pc._decode_hits(key, cid, bvh.geom_tab, rays, t_eff,
+                         rays.origin.shape[0])
+    si_c = build_surface_interaction_fused(ds, rays, key, cid, bvh.shade_tab)
     hit = Hit(t=ch.t, tri_id=ch.tri_id, bary_u=ch.bary_u, bary_v=ch.bary_v)
     si_g = build_surface_interaction(ds, rays, hit)
 
@@ -247,21 +251,32 @@ def test_coherence_sorted_trace_matches_unsorted(setup):
         od = jnp.concatenate([rays.origin, rays.direction], axis=1)
         od_s = jnp.take(od, perm, axis=0)
         sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
-        ch_s, _ = pc.trace_closest_clusters(
-            bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+        key_s, cid_s, _te, _ = pc.trace_closest_clusters_packed(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max,
             sorted_rays, interpret=True
         )
         n = rays.origin.shape[0]
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        ch = shade._permute_hit(ch_s, inv)
-        want, _ = pc.trace_closest_clusters(
-            bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max,
+        # the production unsort: one (N, 2) packed row gather of the raw
+        # kernel outputs (winning sorted ids are lane-order independent)
+        pack = jnp.stack([key_s, cid_s], axis=1)
+        rows = jnp.take(pack, inv, axis=0)
+        key, cid = rows[:, 0], rows[:, 1]
+        wkey, wcid, _te2, _ = pc.trace_closest_clusters_packed(
+            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max,
             rays, interpret=True
         )
-        assert (np.asarray(ch.tri_id) == np.asarray(want.tri_id)).all()
-        np.testing.assert_array_equal(np.asarray(ch.t), np.asarray(want.t))
-        np.testing.assert_array_equal(np.asarray(ch.bary_u), np.asarray(want.bary_u))
-        np.testing.assert_array_equal(np.asarray(ch.bary_v), np.asarray(want.bary_v))
+        # packed keys are min-reduced over the same candidate set either
+        # way: bit-identical regardless of tile grouping
+        np.testing.assert_array_equal(np.asarray(cid), np.asarray(wcid))
+        np.testing.assert_array_equal(np.asarray(key), np.asarray(wkey))
+        si = shade.build_surface_interaction_fused(ds, rays, key, cid,
+                                                   bvh.shade_tab)
+        want_si = shade.build_surface_interaction_fused(ds, rays, wkey, wcid,
+                                                        bvh.shade_tab)
+        np.testing.assert_array_equal(np.asarray(si.p), np.asarray(want_si.p))
+        np.testing.assert_array_equal(np.asarray(si.n_geom),
+                                      np.asarray(want_si.n_geom))
 
 
 def test_ray_t_bounds_conservative(setup):
