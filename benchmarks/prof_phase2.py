@@ -80,8 +80,8 @@ def main():
     @jax.jit
     def kernel_only(lsts, cnts, scls, key0, cid0, pls):
         return pl.pallas_call(
-            functools.partial(pc._closest_cluster_kernel, cb, maxv),
-            grid_spec=pc._grid_spec(tiles, maxv, 2, False, pc.TILE_ROWS),
+            functools.partial(pc._closest_cluster_kernel, cb, maxv, False),
+            grid_spec=pc._grid_spec(tiles, maxv, 2, False, pc.TILE_ROWS, False),
             out_shape=out_shape,
         )(cnts, scls, lsts, bvh.tri_tab, *pls, key0, cid0)
 
