@@ -127,6 +127,17 @@ def _masked_polygon_integral_c(px, py, pz, vc):
     return jnp.abs(total)
 
 
+def _matmul33(a, b):  # (R, 3, 3) @ (R, 3, 3), componentwise
+    return jnp.stack([
+        jnp.stack([
+            a[:, i, 0] * b[:, 0, k] + a[:, i, 1] * b[:, 1, k]
+            + a[:, i, 2] * b[:, 2, k]
+            for k in range(3)
+        ], axis=-1)
+        for i in range(3)
+    ], axis=-2)
+
+
 def _norm3c(x, y, z, eps=1e-30):
     """Componentwise ``cm.normalize(..., eps)`` -> (x, y, z) tuple."""
     n2 = x * x + y * y + z * z
@@ -164,6 +175,30 @@ def integrate_over_polygon(
     R = p.shape[0]
     L = light_v1.shape[0]
 
+    # fused per-ray matrices: the reference chains to_local -> normalize
+    # -> iso -> normalize (-> ltc_inv -> normalize).  normalize is
+    # scale-invariant under matrix application, so the intermediate
+    # normalizes are mathematically redundant — ONE fused (R, 3, 3)
+    # matmul per clip input (R-sized, 1/L the cost of an (L, R) pass)
+    # replaces each chain, with a single normalize at the end.
+    mat_a = _matmul33(iso_frame, to_local)
+    mat_b = _matmul33(ltc_mat_inv, mat_a)
+
+    # TPU hot path: the whole per-light polygon pipeline as ONE fused
+    # Pallas kernel (ltc_pallas) — 25 reads + 3 writes per ray, no
+    # intermediate HBM traffic (the XLA lowering below measured ~6.9 ms
+    # at 512^2 x 2 lights; the kernel ~60x less arithmetic-bound time).
+    from ..accel.traverse import _on_cpu
+    from . import ltc_pallas
+
+    if ((not _on_cpu()) and ltc_pallas.LTC_KERNEL
+            and 0 < L <= ltc_pallas.MAX_KERNEL_LIGHTS):
+        lights = ltc_pallas.pack_lights(
+            light_v1, light_v2, light_v3, light_normal, light_emit)
+        return ltc_pallas.ltc_integrate_pallas(
+            p, diffuse, mat_a.reshape(R, 9), mat_b.reshape(R, 9),
+            amplitude, lights)
+
     def per_ray(v):  # (R,) -> (L*R,), light-major
         return jnp.tile(v, L)
 
@@ -188,25 +223,6 @@ def integrate_over_polygon(
     )
     lnx, lny, lnz = (per_light(light_normal[:, a]) for a in range(3))
     facing = -(cgx * lnx + cgy * lny + cgz * lnz) >= 0.0  # backface :62-64
-
-    # fused per-ray matrices: the reference chains to_local -> normalize
-    # -> iso -> normalize (-> ltc_inv -> normalize).  normalize is
-    # scale-invariant under matrix application, so the intermediate
-    # normalizes are mathematically redundant — ONE fused (R, 3, 3)
-    # matmul per clip input (R-sized, 1/L the cost of an (L, R) pass)
-    # replaces each chain, with a single normalize at the end.
-    def matmul33(a, b):  # (R, 3, 3) @ (R, 3, 3), componentwise
-        return jnp.stack([
-            jnp.stack([
-                a[:, i, 0] * b[:, 0, k] + a[:, i, 1] * b[:, 1, k]
-                + a[:, i, 2] * b[:, 2, k]
-                for k in range(3)
-            ], axis=-1)
-            for i in range(3)
-        ], axis=-2)
-
-    mat_a = matmul33(iso_frame, to_local)
-    mat_b = matmul33(ltc_mat_inv, mat_a)
 
     def xform(m, v):  # m: (R, 3, 3) per-ray matrix, v: (L*R,) comps
         x, y, z = v
