@@ -336,6 +336,19 @@ _ROW_BOUNCE = os.environ.get("OPTIX_TPU_ROW_BOUNCE", "0") == "1"
 _ROW_MAX_VISITS = int(os.environ.get("OPTIX_TPU_ROW_MAX_VISITS", "1536"))
 
 
+def _cull_can_drop(C: int, maxv: int, refine: bool) -> bool:
+    """Static: can the pass-1 cull drop live clusters?  Two independent
+    causes: the list cap binds (C > maxv), or the two-level sweep's
+    supercluster cap can drop whole SCs — which happens REGARDLESS of the
+    list width, so a ``C > maxv`` fallback guard alone is wrong (it
+    compiled the checked fallback out for full-width lists and silently
+    lost the dropped SCs' hits — caught losing 4.8%% of terrain bounce
+    hits at OPTIX_TPU_SC_KEEP=246, round 4)."""
+    cand = _SC_CAND_LANE if refine else _SC_CAND
+    two_level = C > _TWO_LEVEL_MIN_C and C > cand * _SC_GROUP
+    return C > maxv or two_level
+
+
 def cull_clusters(cluster_min, cluster_max, rays: Ray, t_max, n_pad: int, max_visits: int, tile: int = TILE,
                   single_level: bool = False):
     """Per-tile front-to-back cluster lists via one packed top_k.
@@ -1116,7 +1129,7 @@ def trace_closest_clusters_packed(
 
     outs = tuple(run(lists, counts, scales, maxv, False, key_cold, cid_cold))
 
-    if C > maxv:  # overflow possible: checked fallback
+    if _cull_can_drop(C, maxv, refine):  # overflow possible: checked fallback
         # The fallback RE-CULLS unresolved tiles with the achieved
         # per-lane hit distance as the t bound, single-level (no
         # supercluster cap) at full list width — so it cannot overflow
@@ -1260,7 +1273,7 @@ def trace_any_clusters(
 
     occ = run(lists, counts, scales, maxv, False)
 
-    if C > maxv:
+    if _cull_can_drop(C, maxv, refine):
         all_occ = occ.reshape(grid_n, -1).min(axis=1) > 0
         unresolved = (overflow > 0) & ~all_occ
         any_un = jnp.any(unresolved)

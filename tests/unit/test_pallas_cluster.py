@@ -571,3 +571,59 @@ def test_row_mode_overflow_is_checked(big_setup, monkeypatch):
     )
     assert int(astats["overflow"]) > 0
     assert (np.asarray(occ) == (want_ids >= 0)).all()
+
+
+def test_sc_cap_overflow_checked_at_full_list_width(big_setup, monkeypatch):
+    """Round-4 regression: the checked fallback must compile in whenever
+    the TWO-LEVEL cull can drop superclusters, even when the list width
+    covers every cluster (C <= max_visits).  The old ``C > maxv`` guard
+    compiled it out, and an SC-cap drop (_SC_CAND_LANE binding) silently
+    lost 4.8%% of terrain bounce hits at OPTIX_TPU_SC_KEEP=246."""
+    r = big_setup
+    bvh = r.bvh
+    C = bvh.cluster_min.shape[0]
+
+    rng = np.random.default_rng(11)
+    n = pc.TILE * 2
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32),
+               direction=jnp.asarray(d, jnp.float32))
+
+    # force the two-level per-lane cull with a tiny SC cap, and a list
+    # width that holds every cluster: overflow now comes ONLY from
+    # dropped superclusters
+    monkeypatch.setattr(pc, "_TWO_LEVEL_MIN_C", 1)
+    monkeypatch.setattr(pc, "_SC_CAND_LANE", 2)
+    monkeypatch.setattr(pc, "_SC_KEEP", -(-C // pc._SC_GROUP) + 1)
+    assert pc._SC_KEEP * pc._SC_GROUP >= C
+
+    ch, stats = pc.trace_closest_clusters(
+        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        max_visits=pc._pad128(C), refine=True, interpret=True,
+    )
+    assert int(stats["overflow"]) > 0  # SC drops actually happened
+
+    tris = jnp.stack(
+        [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
+    )
+    want = intersect_brute(tris, rays)
+    want_ids = np.where(
+        np.asarray(want.tri_id) >= 0,
+        np.asarray(bvh.prim_id)[np.maximum(np.asarray(want.tri_id), 0)],
+        -1,
+    )
+    assert (np.asarray(ch.tri_id) == want_ids).mean() > 0.999  # t-ties only
+    m = want_ids >= 0
+    np.testing.assert_allclose(
+        np.asarray(ch.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-3
+    )
+
+    occ, astats = pc.trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+        t_max=jnp.full((n,), 1e5, jnp.float32), refine=True, interpret=True,
+    )
+    assert (np.asarray(occ) == (want_ids >= 0)).all()
