@@ -55,16 +55,17 @@ def bench_terrain():
     rs, ju = rnglib.lcg_randomf(rs)
     rs, jv = rnglib.lcg_randomf(rs)
     rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
-    # close over scene/BVH (jit constants): passing the big pytrees as
-    # per-call arguments costs measurable dispatch time over the tunnel
-    f = jax.jit(lambda ry: trace_closest_si(r.device_scene, r.bvh, ry))
-    si, _ = f(rays)
+    # scene/BVH as jit ARGUMENTS: closing over them bakes ~370 MB of
+    # tables into the HLO as constants, which the axon remote-compile
+    # request rejects (HTTP 413); per-call pytree dispatch costs ~1 ms
+    f = jax.jit(lambda d, b, ry: trace_closest_si(d, b, ry))
+    si, _ = f(r.device_scene, r.bvh, rays)
     float(si.p[0, 0])  # 4-byte D2H: the only reliable sync on the axon
     # tunnel backend (block_until_ready returns before execution there)
     t0 = time.perf_counter()
     iters = 8
     for _ in range(iters):
-        si, _ = f(rays)
+        si, _ = f(r.device_scene, r.bvh, rays)
     float(si.p[0, 0])
     dt = (time.perf_counter() - t0) / iters
     mrays = n / dt / 1e6

@@ -72,9 +72,10 @@ def main():
     rs, jv = rnglib.lcg_randomf(rs)
     rays = cameralib.primary_rays(r.state.camera, W, H, ju, jv, lin=lin)
 
-    # primary trace + shade
-    f_prim = jax.jit(lambda ry: trace_closest_si(ds, bvh, ry))
-    res, (si, _) = timeit(f_prim, rays, iters=3, warmup=1)
+    # primary trace + shade (scene pytrees as jit args, not closure
+    # constants: the axon remote-compile request caps body size)
+    f_prim = jax.jit(lambda d, b, ry: trace_closest_si(d, b, ry))
+    res, (si, _) = timeit(f_prim, ds, bvh, rays, iters=3, warmup=1)
     print(f"primary trace+shade: {res['amortized_s']*1e3:.1f} ms")
 
     # representative bounce rays: cosine hemisphere at the primary hits
@@ -88,9 +89,9 @@ def main():
     alive = si.hit & ~si.is_light
     brays = jax.block_until_ready(brays)
 
-    f_bounce = jax.jit(lambda ry, act: trace_closest_si(
-        ds, bvh, ry, coherent=False, active=act)[0].hit.sum())
-    res, nb_hits = timeit(f_bounce, brays, alive, iters=3, warmup=1)
+    f_bounce = jax.jit(lambda d, b, ry, act: trace_closest_si(
+        d, b, ry, coherent=False, active=act)[0].hit.sum())
+    res, nb_hits = timeit(f_bounce, ds, bvh, brays, alive, iters=3, warmup=1)
     print(f"bounce closest trace+shade (sorted, per-lane cull): "
           f"{res['amortized_s']*1e3:.1f} ms  hits={int(nb_hits)}")
 

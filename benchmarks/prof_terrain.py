@@ -73,12 +73,15 @@ def main():
     cull = jax.jit(lambda cm_, cx_, ry, te: pc.cull_clusters(cm_, cx_, ry, te, n_pad, maxv))
     t_c, cull_out = timeit(cull, bvh.cluster_min, bvh.cluster_max, rays, t_eff)
 
-    trace = jax.jit(lambda ry: pc.trace_closest_clusters(
-        bvh.tri_tab, bvh.geom_tab, bvh.cluster_min, bvh.cluster_max, ry))
-    t_tr, (hit, stats) = timeit(trace, rays)
+    # pass the scene pytrees as jit ARGUMENTS (closures bake them into
+    # the HLO as constants, and the axon remote-compile request rejects
+    # bodies past ~300 MB of baked scene tables)
+    trace = jax.jit(lambda b, ry: pc.trace_closest_clusters(
+        b.tri_tab, b.geom_tab, b.cluster_min, b.cluster_max, ry))
+    t_tr, (hit, stats) = timeit(trace, bvh, rays)
 
-    ts_fn = jax.jit(lambda ry: trace_closest_si(r.device_scene, bvh, ry))
-    t_si, _ = timeit(ts_fn, rays)
+    ts_fn = jax.jit(lambda d, b, ry: trace_closest_si(d, b, ry))
+    t_si, _ = timeit(ts_fn, r.device_scene, bvh, rays)
 
     # oracle: re-cull with the converged t (the two-pass/occlusion ceiling)
     t_conv = jnp.where(hit.tri_id >= 0, hit.t * 1.02, t_eff)

@@ -81,6 +81,10 @@ class BVH:
     # Triangle area is recomputed from cross(e1, e2).  Replaces the
     # reference's SBT record fetch + barycentric attribute interpolation
     # inputs (hit_miss.cuh:14-50); (1, cols) dummies on the brute tier
+    shade_gtab: jnp.ndarray  # (C*32, 128) f32 attr-major cluster-grouped
+    # shade table (pack_shade_table_grouped layout) for the winner-attr
+    # Pallas fetch on coherent traces — avoids the per-lane row gather
+    # entirely.  (32, 128) zero dummy on the brute tier.
 
     @property
     def num_nodes(self) -> int:
@@ -179,6 +183,31 @@ ATTR_NRM_COLS = 12  # corner-normal group row width (9 used)
 ATTR_UVM_COLS = 8   # uv/mesh/area group row width (8 used)
 SHADE_A_COLS = 20  # fused decode+shade group A row width (see BVH.shade_tab)
 SHADE_B_COLS = 8   # group B row width (6 used)
+SHADE_G_COLS = 32  # grouped shade block attr width (26 used: A 20 + B uv 6)
+
+
+def pack_shade_table_grouped(shade_a: np.ndarray, shade_b: np.ndarray) -> np.ndarray:
+    """(C*32, 128) f32 ATTR-MAJOR cluster-grouped shade table for the
+    winner-attr Pallas kernel (accel.pallas_cluster.fetch_winner_attrs).
+
+    Each 64-triangle cluster is one DMA-aligned (32, 128) block: row j =
+    shade attribute j, lane l = triangle l of the cluster (lanes 64-127
+    pad).  Attributes 0-19 are the shade_a columns (v0, e1, e2, corner
+    normals, mesh id, prim id), 20-25 the shade_b corner uvs; 26-31 pad.
+    Attr-major so the block is DIRECTLY the (attrs, tris) left operand
+    of the kernel's one-hot selection matmul — replaces the per-lane XLA
+    row gather of those rows (~52 ns/row at 1M rays on v5e — the
+    whole-frame bottleneck)."""
+    Tp = shade_a.shape[0]
+    T64 = -(-Tp // CLUSTER_SIZE) * CLUSTER_SIZE
+    flat = np.zeros((T64, SHADE_G_COLS), np.float32)
+    flat[:Tp, :SHADE_A_COLS] = shade_a
+    flat[:Tp, SHADE_A_COLS:SHADE_A_COLS + 6] = shade_b[:, :6]
+    C = T64 // CLUSTER_SIZE
+    a = flat.reshape(C, CLUSTER_SIZE, SHADE_G_COLS)  # (cluster, tri, attr)
+    out = np.zeros((C, SHADE_G_COLS, 2 * CLUSTER_SIZE), np.float32)
+    out[:, :, :CLUSTER_SIZE] = a.transpose(0, 2, 1)
+    return out.reshape(C * SHADE_G_COLS, 2 * CLUSTER_SIZE)
 
 
 def pack_attr_tab(n_corner, uv_corner, tri_mesh, area):
@@ -202,10 +231,20 @@ def _bvh_from_arrays(arrs: dict) -> "BVH":
     """Upload the numpy build products (keys = _BVH_NP_FIELDS) once."""
     f32 = partial(jnp.asarray, dtype=jnp.float32)
     i32 = partial(jnp.asarray, dtype=jnp.int32)
+    # grouped shade table only exists on the cluster tier (grouped
+    # tri_tab); derived here (cheap reshape) instead of cached on disk
+    if np.asarray(arrs["tri_tab"]).shape[1] == 128:
+        gtab = pack_shade_table_grouped(
+            np.asarray(arrs["shade_a"], np.float32),
+            np.asarray(arrs["shade_b"], np.float32),
+        )
+    else:
+        gtab = np.zeros((SHADE_G_COLS, 128), np.float32)
     return BVH(
         tri_tab=f32(arrs["tri_tab"]),
         geom_tab=f32(arrs["geom_tab"]),
         shade_tab=(f32(arrs["shade_a"]), f32(arrs["shade_b"])),
+        shade_gtab=f32(gtab),
         cluster_min=f32(arrs["cluster_min"]),
         cluster_max=f32(arrs["cluster_max"]),
         node_min=f32(arrs["node_min"]),

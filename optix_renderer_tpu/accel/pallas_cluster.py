@@ -1067,13 +1067,22 @@ def trace_closest_clusters_packed(
     tile_rows: int = TILE_ROWS,
     refine: bool = False,
     interpret: bool = False,
+    return_lists: bool = False,
 ):
     """Raw packed trace: returns (key (N,) i32, cid (N,) i32, stats).
+
+    ``return_lists=True`` appends the PASS-1 cull products
+    ``(cids (tiles, maxv) i32 decoded cluster ids, counts (tiles,))`` to
+    the return tuple for reuse by :func:`fetch_winner_attrs`.  They are
+    the first pass's lists: when the checked overflow fallback re-traced
+    a tile, that tile's winner may not appear in them — consumers must
+    run the found-check (fetch_winner_attrs does).
 
     ``key`` is the winning (quantized t | local tri id) per lane and
     ``cid`` its cluster (-1 = miss); the winning SORTED triangle id is
     ``cid * 64 + (key & 63)``.  The fused decode+shade path
-    (engine.shade) gathers ONE BVH.shade_tab row per lane from these and
+    (engine.shade) turns these into a SurfaceInteraction (winner-attr
+    kernel on coherent traces, or one shade_tab row gather per lane) and
     recomputes exact (t, u, v) itself; :func:`trace_closest_clusters`
     wraps this with the geom_tab decode for callers that want a Hit.
 
@@ -1110,6 +1119,10 @@ def trace_closest_clusters_packed(
             cluster_min, cluster_max, rays, t_eff, n_pad, maxv, tile
         )
     cb = _cid_bits(C)
+    cids_p1 = None
+    if return_lists:  # decoded pass-1 cluster ids, clamped in-bounds so
+        # downstream DMA addresses are always valid even for junk entries
+        cids_p1 = jnp.clip(lists & ((1 << cb) - 1), 0, C - 1)
     lists = lists.reshape(grid_n * 8, maxv // 8)
     planes = _planes(rays, t_eff, n_pad)
 
@@ -1175,6 +1188,8 @@ def trace_closest_clusters_packed(
         stats = zero_trace_stats()
 
     flat = lambda a: a.reshape(-1)[:n]
+    if return_lists:
+        return flat(outs[0]), flat(outs[1]), t_eff, stats, (cids_p1, counts)
     return flat(outs[0]), flat(outs[1]), t_eff, stats
 
 
@@ -1307,3 +1322,243 @@ def trace_any_clusters(
     else:
         stats = zero_trace_stats()
     return occ.reshape(-1)[:n] != 0, stats
+
+
+
+# ---------------------------------------------------------------------------
+# Winner-attribute fetch: SurfaceInteraction inputs without per-lane gathers
+# ---------------------------------------------------------------------------
+
+N_SHADE_ATTR = 26  # used rows of the grouped shade block (A 20 + uv 6)
+_SG_COLS = 32      # block attr rows (build.SHADE_G_COLS)
+_TILE_N = 8 * LANES  # lanes per ray tile (the coherent-trace tile)
+
+
+def _winner_attr_kernel(maxv: int, lst_ref, nxt_ref, atab_hbm,
+                        key_ref, cid_ref, out_ref,
+                        lst_scr, nxt_scr, buf, sems, lsem, nsem):
+    """Per-tile winner-attribute fetch (the TPU answer to the per-lane
+    shade-row gather, which XLA lowers at ~52 ns/ROW — 40-55 ms/Mray).
+
+    Walks ONLY the tile's winner visits — list positions whose cluster
+    holds some lane's winning triangle, linked by a precomputed
+    next-pointer skip array (primaries average ~13 winner clusters out
+    of ~60 visited per 1024-ray tile on the 1M-tri terrain).  Each visit
+    DMAs the cluster's ATTR-MAJOR (32 attrs, 128) shade block and
+    selects every matching lane's winning row with ONE one-hot matmul:
+
+        acc (32, 1024) += block[:, :64] (32, 64) @ oh (64, 1024)
+        oh = (local_id == iota_tri) * (cid == list[k])
+
+    The (64, 1024) local-id one-hot is built ONCE per tile; the per-
+    visit mask is a single (1, 1024) compare broadcast over it.  MXU
+    work at Precision.HIGHEST is exact for 0/1 selection (same argument
+    as engine.shade._shade_onehot).  Measured history on the terrain
+    primary workload (13.2k winner visits): per-(chunk, attr) broadcast
+    selection in VPU vregs cost 1.78 ms/attr (59 ms total, WORSE than
+    the 39 ms gather it replaced — (8,1,1) lane-extract broadcasts are
+    ~25x the naive op count); this matmul form moves the selection to
+    the idle MXU.
+
+    Ray key/cid planes arrive as (8, 1024) FLAT-tile blocks shared by 8
+    consecutive grid steps (index map t//8, row t%8): Mosaic rejects
+    (1, N) blocks on hardware, and the flat view costs XLA nothing (the
+    arrays are row-major (N,) already).
+
+    Correctness contract: every lane's winning cluster must appear in
+    the tile's list (positions < cnt).  That holds for pass-1 results by
+    construction (a winner must have been visited); when the checked
+    overflow fallback replaced a tile's result, the caller's found-check
+    routes the WHOLE call to the exact gather path instead (see
+    fetch_winner_attrs).  Miss lanes match no list cluster (cid = -1,
+    ids are clamped >= 0) and come out zero.
+    """
+    ti = pl.program_id(0)
+    r = ti % 8
+    lw = maxv // 8
+    nw = (maxv + 8) // 8
+    lcopy = pltpu.make_async_copy(lst_ref, lst_scr, lsem)
+    lcopy.start()
+    ncopy = pltpu.make_async_copy(nxt_ref, nxt_scr, nsem)
+    ncopy.start()
+    lcopy.wait()
+    ncopy.wait()
+    sentinel = maxv
+
+    def lst_at(k):
+        k = jnp.minimum(k, maxv - 1)  # sentinel cursors read a junk entry;
+        return lst_scr[k // lw, k % lw]  # ids are pre-clamped in-bounds
+
+    def nxt_at(k):
+        k = jnp.minimum(k, maxv + 7)
+        return nxt_scr[k // nw, k % nw]
+
+    def attr_dma(slot, k):
+        cid = lst_at(k)
+        return pltpu.make_async_copy(
+            atab_hbm.at[pl.ds(cid * _SG_COLS, _SG_COLS), :],
+            buf.at[slot], sems.at[slot],
+        )
+
+    k0 = nxt_at(0)
+    k1 = nxt_at(k0 + 1)
+    attr_dma(0, k0).start()
+    attr_dma(1, k1).start()
+
+    # hoisted per-tile: this tile's flat key/cid rows and the (tri,
+    # lane) local-id one-hot
+    keyf = key_ref[pl.ds(r, 1), :]  # (1, TILE_N)
+    cidf = cid_ref[pl.ds(r, 1), :]
+    loc = keyf & _LOCAL_MASK
+    iota_tri = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP_CLUSTER, _TILE_N), 0)
+    oh_loc = (loc == iota_tri).astype(jnp.float32)  # (64, TILE_N)
+
+    def cond(st):
+        return st[0][0] < sentinel
+
+    def body(st):
+        (k, kn, p), acc = st
+        attr_dma(p, k).wait()
+        blk = buf[p]  # (32, 128): attr rows, tri lanes (64-127 pad)
+        maskv = (cidf == lst_at(k)).astype(jnp.float32)  # (1, TILE_N)
+        oh = oh_loc * maskv
+        # winners are unique per lane, so per-visit contributions are
+        # disjoint and the accumulation is exact
+        acc = acc + jax.lax.dot_general(
+            blk[:, :GROUP_CLUSTER], oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        k2 = nxt_at(kn + 1)
+        attr_dma(p, k2).start()
+        return (kn, k2, p ^ 1), acc
+
+    (k_f, kn_f, p_f), acc = jax.lax.while_loop(
+        cond, body,
+        ((k0, k1, jnp.int32(0)),
+         jnp.zeros((_SG_COLS, _TILE_N), jnp.float32)),
+    )
+    out_ref[...] = acc
+    # drain: exactly two DMAs are always in flight (slot p_f holds k_f's,
+    # slot p_f^1 holds kn_f's) and starts/waits must balance
+    attr_dma(p_f, k_f).wait()
+    attr_dma(p_f ^ 1, kn_f).wait()
+
+
+def fetch_winner_attrs(shade_gtab, cids, counts, key, cid, n: int,
+                       interpret: bool = False, fallback_fn=None,
+                       retraced=None):
+    """Winner shade attributes for a COHERENT packed trace.
+
+    Args: ``shade_gtab`` (C*32, 128) attr-major grouped shade table
+    (build.pack_shade_table_grouped); ``cids``/``counts`` the pass-1 cull
+    lists from ``trace_closest_clusters_packed(..., return_lists=True)``
+    ((tiles, maxv) i32 decoded+clamped ids, (tiles,) i32); ``key``/
+    ``cid`` the packed winners ((N,) i32).
+
+    Returns ``(attrs (N_SHADE_ATTR, n) f32, ok () bool)``: row j is
+    fused shade column j per lane (0..19 = shade_a, 20..25 = shade_b
+    uv), zeros for miss lanes.  ``ok`` is False when some lane's winning
+    cluster is absent from its tile's pass-1 list (possible only when
+    the checked overflow fallback replaced that tile's result) — then
+    the result is exact only via ``fallback_fn`` (a nullary returning
+    the same (N_SHADE_ATTR, n) columns from the row-gather path), which
+    runs under ``lax.cond`` so the common case never pays it.  Without a
+    fallback_fn, attrs are garbage for those lanes (test/probe use).
+    Everything before the kernel is dense XLA (no per-lane gathers).
+
+    ``retraced`` (optional () i32, the trace stats' ``retraced`` flag):
+    winners can only be absent when the overflow fallback actually
+    re-traced something, so when given, the found-check — as expensive
+    as the marks sweep itself — runs under ``lax.cond`` on it.
+    """
+    tiles, maxv = cids.shape
+    n_pad = tiles * _TILE_N
+    pad = n_pad - n
+    # flat (tiles, 1024) views of the winner planes — row-major (N,)
+    # already, so these reshapes are free
+    key_fl = jnp.pad(key, (0, pad), mode="edge").reshape(tiles, _TILE_N)
+    cid_fl = jnp.pad(cid, (0, pad), mode="edge").reshape(tiles, _TILE_N)
+    # pad the tile axis to a multiple of 8: the kernel's key/cid blocks
+    # cover 8 tiles each (Mosaic rejects (1, N) blocks on hardware)
+    tiles8 = -(-tiles // 8) * 8
+    if tiles8 != tiles:
+        key_fl = jnp.pad(key_fl, ((0, tiles8 - tiles), (0, 0)))
+        cid_fl = jnp.pad(cid_fl, ((0, tiles8 - tiles), (0, 0)),
+                         constant_values=-1)
+
+    # winner marks per list position + per-lane found flags, streamed in
+    # position chunks so XLA never materializes (tiles, maxv, lanes)
+    cid_t = cid_fl[:tiles]
+    live_p = jax.lax.broadcasted_iota(jnp.int32, (tiles, maxv), 1) < counts[:, None]
+    step = 128
+
+    def _sweep(with_found: bool):
+        marks = jnp.zeros((tiles, maxv), jnp.bool_)
+        found = cid_t < 0  # miss lanes need no row
+        for p0 in range(0, maxv, step):
+            sl = cids[:, p0:p0 + step]
+            eq = sl[:, :, None] == cid_t[:, None, :]
+            eq = eq & live_p[:, p0:p0 + step, None]
+            marks = marks.at[:, p0:p0 + step].set(eq.any(-1))
+            if with_found:
+                found = found | eq.any(1)
+        return marks, found.all()
+
+    marks, ok = _sweep(with_found=retraced is None)
+    if retraced is not None:
+        # a winner can be missing from the pass-1 lists only when the
+        # checked overflow fallback replaced a tile's result
+        ok = jax.lax.cond(retraced > 0, lambda: _sweep(True)[1],
+                          lambda: jnp.bool_(True))
+
+    # next-winner skip pointers: nxt[p] = min marked position >= p, else
+    # maxv (sentinel); padded 8 wide so the kernel can read nxt[k+1] at
+    # the last real position
+    pos = jnp.where(marks, jax.lax.broadcasted_iota(jnp.int32, (tiles, maxv), 1), maxv)
+    nxt = jax.lax.associative_scan(jnp.minimum, pos, reverse=True, axis=1)
+    nxt = jnp.pad(nxt, ((0, 0), (0, 8)), constant_values=maxv)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((8, maxv // 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, (maxv + 8) // 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, _TILE_N), lambda t: (t // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TILE_N), lambda t: (t // 8, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SG_COLS, _TILE_N), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((8, maxv // 8), jnp.int32),
+            pltpu.SMEM((8, (maxv + 8) // 8), jnp.int32),
+            pltpu.VMEM((2, _SG_COLS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    def run_kernel():
+        out = pl.pallas_call(
+            functools.partial(_winner_attr_kernel, maxv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (_SG_COLS, tiles * _TILE_N), jnp.float32),
+            interpret=interpret,
+        )(
+            cids.reshape(tiles * 8, maxv // 8),
+            nxt.reshape(tiles * 8, (maxv + 8) // 8),
+            shade_gtab,
+            key_fl,
+            cid_fl,
+        )
+        return out[:N_SHADE_ATTR, :n]
+
+    if fallback_fn is None:
+        return run_kernel(), ok
+    return jax.lax.cond(ok, run_kernel, fallback_fn), ok

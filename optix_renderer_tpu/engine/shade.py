@@ -16,6 +16,8 @@ Two lowerings, dispatched statically on scene size:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,9 @@ from ..core import math as cm
 from ..core.types import Hit, Ray, SurfaceInteraction
 from ..scene.device import ONEHOT_MAX_TRIS, PACK_SLICES, DeviceScene
 from ..scene.textures import sample_bilinear
+
+# A/B kill-switch for the coherent-trace winner-attr Pallas fetch
+_WINNER_ATTRS = os.environ.get("OPTIX_TPU_WINNER_ATTRS", "1") == "1"
 
 
 def _finalize(ds, rays, hit, parts, miss_color):
@@ -163,6 +168,7 @@ def _mesh_attr_rows(ds: DeviceScene, mesh_id: jnp.ndarray) -> jnp.ndarray:
 def build_surface_interaction_fused(
     ds: DeviceScene, rays: Ray, key: jnp.ndarray, cid: jnp.ndarray,
     shade_tab: tuple, miss_color: jnp.ndarray | None = None,
+    cols: jnp.ndarray | None = None,
 ) -> SurfaceInteraction:
     """SurfaceInteraction straight from the cluster kernel's packed
     (key, cid) outputs — ONE BVH.shade_tab group-A row gather per lane.
@@ -184,13 +190,21 @@ def build_surface_interaction_fused(
     if miss_color is None:
         miss_color = ds.miss_color
     valid = cid >= 0
-    tri_sorted = jnp.where(valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
-    shade_a, shade_b = shade_tab
-    rows_a = jnp.take(shade_a, tri_sorted, axis=0)  # (N, 20)
+    if cols is not None:
+        # winner-attr kernel output (accel.pallas_cluster.
+        # fetch_winner_attrs): row j is shade column j, already per-lane
+        c = lambda j: cols[j]
+        uv_col = lambda j: cols[20 + j]
+    else:
+        tri_sorted = jnp.where(
+            valid, cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
+        shade_a, shade_b = shade_tab
+        rows_a = jnp.take(shade_a, tri_sorted, axis=0)  # (N, 20)
 
-    # exact (t, u, v): same arithmetic as accel.pallas_cluster._decode_hits,
-    # componentwise (column slices stay dense on the 128 lanes)
-    c = lambda j: rows_a[:, j]
+        # exact (t, u, v): same arithmetic as accel.pallas_cluster.
+        # _decode_hits, componentwise (column slices stay dense on the
+        # 128 lanes)
+        c = lambda j: rows_a[:, j]
     v0x, v0y, v0z = c(0), c(1), c(2)
     e1x, e1y, e1z = c(3), c(4), c(5)
     e2x, e2y, e2z = c(6), c(7), c(8)
@@ -231,10 +245,12 @@ def build_surface_interaction_fused(
     rows = _mesh_attr_rows(ds, jnp.where(valid, mesh_id, 0))
     diffuse = rows[:, 0:3]
 
-    rows_b = jnp.take(shade_b, tri_sorted, axis=0)  # (N, 8); DCE-able
+    if cols is None:
+        rows_b = jnp.take(shade_b, tri_sorted, axis=0)  # (N, 8); DCE-able
+        uv_col = lambda j: rows_b[:, j]
     uv = jnp.stack([
-        w * rows_b[:, 0] + u * rows_b[:, 2] + v * rows_b[:, 4],
-        w * rows_b[:, 1] + u * rows_b[:, 3] + v * rows_b[:, 5],
+        w * uv_col(0) + u * uv_col(2) + v * uv_col(4),
+        w * uv_col(1) + u * uv_col(3) + v * uv_col(5),
     ], axis=-1)
     uv = jnp.abs(jnp.fmod(uv, 1.0))  # hit_miss.cuh:34-35
     if ds.has_textures:
@@ -326,9 +342,40 @@ def trace_closest_si(
                 direction=jnp.where(m, rays.direction, up[None, :]),
             )
         if coherent:
-            key, cid, _t_eff, stats = trace_closest_clusters_packed(
-                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays
+            from ..accel.pallas_cluster import (
+                GROUP_CLUSTER, _LOCAL_MASK, fetch_winner_attrs,
             )
+
+            key, cid, _t_eff, stats, (cids_l, cnts) = (
+                trace_closest_clusters_packed(
+                    bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+                    return_lists=True,
+                )
+            )
+            if _WINNER_ATTRS:
+                # per-winning-cluster Pallas fetch instead of the per-lane
+                # (N, 20)+(N, 8) row gathers (XLA lowers those at ~52
+                # ns/row: 55 ms of a 1M-ray frame).  Exact: when the
+                # overflow fallback replaced a tile's winner (absent from
+                # the pass-1 lists), lax.cond routes to the gather path.
+                def _gather_cols():
+                    tri_sorted = jnp.where(
+                        cid >= 0,
+                        cid * GROUP_CLUSTER + (key & _LOCAL_MASK), 0)
+                    ra = jnp.take(bvh.shade_tab[0], tri_sorted, axis=0)
+                    rb = jnp.take(bvh.shade_tab[1], tri_sorted, axis=0)
+                    return jnp.concatenate([ra, rb[:, :6]], axis=1).T
+
+                cols, _ok = fetch_winner_attrs(
+                    bvh.shade_gtab, cids_l, cnts, key, cid,
+                    rays.origin.shape[0], fallback_fn=_gather_cols,
+                    retraced=stats["retraced"],
+                )
+                si = build_surface_interaction_fused(
+                    ds, rays, key, cid, bvh.shade_tab, miss_color,
+                    cols=cols,
+                )
+                return si, stats
         else:
             lo = bvh.cluster_min.min(axis=0)
             hi = bvh.cluster_max.max(axis=0)
