@@ -334,6 +334,12 @@ _SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "64"))
 # list width (overflow is checked, as everywhere).
 _ROW_BOUNCE = os.environ.get("OPTIX_TPU_ROW_BOUNCE", "0") == "1"
 _ROW_MAX_VISITS = int(os.environ.get("OPTIX_TPU_ROW_MAX_VISITS", "1536"))
+# checked-fallback batch size, in ray TILES (x8 in row mode so the batch
+# covers the same ray count): the full-width re-cull's dense sweep cost
+# scales with the batch, so small batches make the common few-unresolved-
+# tiles case cheap while the while_loop keeps arbitrary counts exact
+_FB_TILES = int(os.environ.get("OPTIX_TPU_FB_TILES", "128"))
+assert _FB_TILES >= 1, "OPTIX_TPU_FB_TILES must be positive"
 
 
 def _cull_can_drop(C: int, maxv: int, refine: bool) -> bool:
@@ -1154,29 +1160,92 @@ def trace_closest_clusters_packed(
         # fallback (near bits 0 => the cut never fires) measured 10.8 s
         # for ONE bounce trace on terrain PATH (2383 overflowing rows x
         # 15.6k clusters of pretest+DMA machinery).
+        #
+        # COMPACTED: the single-level re-cull is a dense rays x ALL-
+        # clusters slab sweep whose cost scales with the tiles it SEES,
+        # not the tiles that need it — run dense over all 1024 terrain
+        # tiles it measured ~1.3 s per bounce trace whenever ANY tile
+        # was unresolved (~= the whole main pass).  Unresolved tiles are
+        # therefore gathered into _FB_TILES-sized batches (a slice of an
+        # argsort permutation: unresolved-first, so batch k is distinct
+        # tiles) and re-traced batch by batch in a while_loop that stops
+        # when the unresolved count is exhausted.  Duplicate work across
+        # batches (the clamped dynamic_slice at the tail) is idempotent:
+        # re-tracing a tile warm-started from its own result is a no-op.
+        # Two measured dead ends: a two-level stage-2 re-cull before the
+        # dense sweep (unresolved tiles are miss/grazing-heavy, so the
+        # achieved-t bounds don't tighten them — 2.5 -> 3.2 s), and
+        # target-cluster sort keys (winners/tile ~unchanged at ~200).
         t_tile = _key_t_up(outs[0]).reshape(grid_n, -1).max(axis=1)
         unresolved = (overflow > 0) & (t_tile > near_dropped)
         any_un = jnp.any(unresolved)
         maxv_full = _pad128(C)
+        fb = min(grid_n, _FB_TILES if tile >= 8 * LANES else 8 * _FB_TILES)
+
+        def run_fb(lsts, cnts, scls, planes_fb, key0, cid0):
+            out_sh = [jax.ShapeDtypeStruct((fb * out_rep, LANES), jnp.int32)] * 2
+            return pl.pallas_call(
+                functools.partial(_closest_cluster_kernel, cb, maxv_full,
+                                  row_mode),
+                grid_spec=_grid_spec(fb, maxv_full, 2, False, tile_rows,
+                                     row_mode),
+                out_shape=out_sh,
+                interpret=interpret,
+            )(cnts, scls, lsts, tri_tab, *planes_fb, key0, cid0)
 
         def fallback(o):
+            n_un = unresolved.sum()
+            # unresolved tiles first, in index order (stable argsort of
+            # the resolved flag); any slice of a permutation is distinct
+            order = jnp.argsort(jnp.where(unresolved, 0, 1).astype(jnp.int32))
+            ro_g = jnp.pad(rays.origin, ((0, n_pad - n), (0, 0)),
+                           mode="edge").reshape(grid_n, tile, 3)
+            rd_g = jnp.pad(rays.direction, ((0, n_pad - n), (0, 0)),
+                           mode="edge").reshape(grid_n, tile, 3)
             # per-lane bound: conservative upper decode of the achieved
             # key (>= true best t; t_eff where no hit).  Any cluster
-            # holding an improving triangle has near <= t_true < bound,
-            # so the re-cull keeps it; resolved tiles' lanes get t=0 so
-            # their lists are empty and counts are masked off anyway.
+            # holding an improving triangle has near <= t_true < bound.
             t_up = jnp.minimum(_key_t_up(o[0]).reshape(-1)[:n], t_eff)
-            lane_un = jnp.repeat(unresolved, n_pad // grid_n)[:n]
-            t2 = jnp.where(lane_un, t_up, 0.0)
+            t_up = jnp.pad(t_up, (0, n_pad - n)).reshape(grid_n, tile)
             cull2 = cull_clusters_per_lane if refine else cull_clusters
-            l2, c2, s2, _, _ = cull2(
-                cluster_min, cluster_max, rays, t2, n_pad, maxv_full,
-                tile, single_level=True)
-            counts_f = jnp.where(unresolved, c2, 0)
-            outs_f = run(l2.reshape(grid_n * 8, maxv_full // 8), counts_f,
-                         s2, maxv_full, False, o[0], o[1])
-            m = jnp.repeat(unresolved, out_rep)[:, None]
-            return tuple(jnp.where(m, f, x) for f, x in zip(outs_f, o))
+
+            def body(st):
+                o, i = st
+                # dynamic_slice clamps the start near the end; compute
+                # the clamped start explicitly so `live` masks the
+                # entries the slice ACTUALLY returned
+                start = jnp.minimum(i * fb, jnp.int32(grid_n - fb))
+                sel = jax.lax.dynamic_slice(order, (start,), (fb,))
+                live = (start + jnp.arange(fb, dtype=jnp.int32)) < n_un
+                rfb = Ray(
+                    origin=jnp.take(ro_g, sel, axis=0).reshape(fb * tile, 3),
+                    direction=jnp.take(rd_g, sel, axis=0).reshape(fb * tile, 3),
+                )
+                t2 = jnp.take(t_up, sel, axis=0).reshape(fb * tile)
+                t2 = jnp.where(jnp.repeat(live, tile), t2, 0.0)
+                l2, c2, s2, _, _ = cull2(
+                    cluster_min, cluster_max, rfb, t2, fb * tile,
+                    maxv_full, tile, single_level=True)
+                ok_g = o[0].reshape(grid_n, out_rep, LANES)
+                oc_g = o[1].reshape(grid_n, out_rep, LANES)
+                key0 = jnp.take(ok_g, sel, axis=0).reshape(fb * out_rep, LANES)
+                cid0 = jnp.take(oc_g, sel, axis=0).reshape(fb * out_rep, LANES)
+                outs_f = run_fb(
+                    l2.reshape(fb * 8, maxv_full // 8),
+                    jnp.where(live, c2, 0), s2,
+                    _planes(rfb, t2, fb * tile), key0, cid0)
+                m = live[:, None, None]
+                newk = jnp.where(m, outs_f[0].reshape(fb, out_rep, LANES),
+                                 key0.reshape(fb, out_rep, LANES))
+                newc = jnp.where(m, outs_f[1].reshape(fb, out_rep, LANES),
+                                 cid0.reshape(fb, out_rep, LANES))
+                o = (ok_g.at[sel].set(newk).reshape(grid_n * out_rep, LANES),
+                     oc_g.at[sel].set(newc).reshape(grid_n * out_rep, LANES))
+                return o, i + 1
+
+            o, _ = jax.lax.while_loop(
+                lambda st: st[1] * fb < n_un, body, (o, jnp.int32(0)))
+            return o
 
         outs = jax.lax.cond(any_un, fallback, lambda o: o, outs)
         stats = {

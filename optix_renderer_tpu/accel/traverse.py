@@ -16,6 +16,8 @@ A brute-force O(R*T) oracle (:func:`intersect_brute`) validates both.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -70,8 +72,15 @@ _BRUTE_CHUNK = 32
 
 # On TPU the Pallas sublane-chunk kernels (accel.pallas_trace) own the
 # brute-force tier (every VPU op tests 8 triangles x 128 rays); above this
-# the clustered two-phase path (accel.pallas_cluster) takes over.
-PALLAS_BRUTE_MAX_TRIS = 4096
+# the clustered two-phase path (accel.pallas_cluster) takes over.  Env
+# override for crossover A/Bs; 4096 is measured, not guessed: on the
+# 5670-tri gallery (512^2 16spp, v5e) the cluster tier beats brute on
+# every mode (PATH 1.57 s vs 1.81 s, LTC amortized 13.0 vs 26.1 ms), so
+# raising the cap to pull such scenes into the brute tier LOSES — its
+# every-ray-tests-every-triangle cost grows linearly while the cluster
+# tier's culls keep per-ray work flat.
+PALLAS_BRUTE_MAX_TRIS = int(os.environ.get("OPTIX_TPU_BRUTE_MAX_TRIS", "4096"))
+assert PALLAS_BRUTE_MAX_TRIS >= 1
 
 
 def _on_cpu() -> bool:
