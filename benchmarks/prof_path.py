@@ -98,7 +98,9 @@ def main():
     # cull/kernel split for the bounce trace (sorted rays, refine path)
     lo = bvh.cluster_min.min(axis=0)
     hi = bvh.cluster_max.max(axis=0)
-    perm = jnp.argsort(_coherence_keys(brays, lo, hi))
+    keys, _te = jax.jit(lambda cm2, cx2, ry: pc.corridor_keys_and_t_bounds(
+        cm2, cx2, ry))(bvh.cluster_min, bvh.cluster_max, brays)
+    perm = jnp.argsort(keys)
     od = jnp.concatenate([brays.origin, brays.direction], axis=1)
     od_s = jnp.take(od, perm, axis=0)
     srays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])

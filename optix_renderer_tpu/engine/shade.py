@@ -377,15 +377,25 @@ def trace_closest_si(
                 )
                 return si, stats
         else:
-            lo = bvh.cluster_min.min(axis=0)
-            hi = bvh.cluster_max.max(axis=0)
-            perm = jnp.argsort(_coherence_keys(rays, lo, hi))
-            od = jnp.concatenate([rays.origin, rays.direction], axis=1)  # (N, 6)
+            from ..accel.pallas_cluster import corridor_keys_and_t_bounds
+
+            # corridor sort key + per-ray t bound from ONE supercluster
+            # sweep (key: first|mid|last supercluster along the ray —
+            # groups rays by traversal set, not geometry; measured
+            # per-tile visit unions 835k -> 552k on terrain bounces vs
+            # the old octant|origin-morton key, and the fused t bound
+            # saves the packed trace's own sweep)
+            keys, t_eff_u = corridor_keys_and_t_bounds(
+                bvh.cluster_min, bvh.cluster_max, rays)
+            perm = jnp.argsort(keys)
+            od = jnp.concatenate(
+                [rays.origin, rays.direction, t_eff_u[:, None]], axis=1
+            )  # (N, 7): one gather moves rays AND their t bounds
             od_s = jnp.take(od, perm, axis=0)
             sorted_rays = Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6])
             key_s, cid_s, _t_eff, stats = trace_closest_clusters_packed(
                 bvh.tri_tab, bvh.cluster_min, bvh.cluster_max,
-                sorted_rays, refine=True
+                sorted_rays, refine=True, t_eff=od_s[:, 6]
             )
             # unsort the TWO packed kernel outputs (winning sorted tri
             # ids are lane-order independent, so the shade gather happens

@@ -335,6 +335,33 @@ def test_ray_t_bounds_supercluster_grouping():
     assert ((exact == 0) | (grouped > 0)).all()
 
 
+def test_corridor_keys_and_t_bounds(setup):
+    """The fused key+bound sweep returns EXACTLY ray_t_bounds' bound, and
+    keys send no-overlap rays to INT32_MAX (inert tiles sort last)."""
+    r, rays = setup
+    bvh = r.bvh
+    keys, te = pc.corridor_keys_and_t_bounds(
+        bvh.cluster_min, bvh.cluster_max, rays)
+    ref = pc.ray_t_bounds(bvh.cluster_min, bvh.cluster_max, rays, pc._INF)
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(ref))
+    k = np.asarray(keys)
+    assert (k >= 0).all()
+    # rays overlapping nothing: key must be INT32_MAX, bound 0
+    up_rays = Ray(
+        origin=jnp.asarray(np.full((16, 3), 1e4, np.float32)),
+        direction=jnp.asarray(np.tile(np.array([0, 1, 0], np.float32),
+                                      (16, 1))),
+    )
+    ku, tu = pc.corridor_keys_and_t_bounds(
+        bvh.cluster_min, bvh.cluster_max, up_rays)
+    assert (np.asarray(ku) == 0x7FFFFFFF).all()
+    assert (np.asarray(tu) == 0.0).all()
+    # t_max clamp flows through like ray_t_bounds
+    _, tc = pc.corridor_keys_and_t_bounds(
+        bvh.cluster_min, bvh.cluster_max, rays, 0.125)
+    assert (np.asarray(tc) <= 0.125 + 1e-6).all()
+
+
 @pytest.mark.parametrize("tile_rows", [1, 2, 4])
 def test_tile_rows_invariance(setup, tile_rows):
     """Results are identical for every kernel tile size (the tile is a
