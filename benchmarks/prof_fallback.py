@@ -130,13 +130,95 @@ def main():
     print(f"full trace (cull+kernel+fallback): {res['amortized_s']*1e3:.1f} ms")
 
     # stats from one run
-    _, _, _, stats = jax.jit(
+    key1, _, _, stats = jax.jit(
         lambda ry, te: pc.trace_closest_clusters_packed(
             bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, ry,
             refine=True, t_eff=te))(srays, t_eff)
     print(f"stats: overflow={int(stats['overflow'])} "
           f"retraced={int(stats['retraced'])} "
           f"unresolved_tiles={int(stats['unresolved_tiles'])}")
+
+    # ---- fallback BATCH decomposition: one _FB_TILES batch of real
+    # unresolved tiles, re-cull vs full-width kernel ----
+    def pass1_out(lsts, cnts_, scls, pls, k0, c0):
+        return pl.pallas_call(
+            functools.partial(pc._closest_cluster_kernel, cb, maxv, False),
+            grid_spec=pc._grid_spec(grid_n, maxv, 2, False, pc.TILE_ROWS,
+                                    False),
+            out_shape=out_shape,
+        )(cnts_, scls, lsts.reshape(grid_n * 8, maxv // 8), bvh.tri_tab,
+          *pls, k0, c0)
+
+    outs1 = jax.block_until_ready(jax.jit(pass1_out)(
+        lists, counts, scales, planes, key_cold, cid_cold))
+    t_tile = pc._key_t_up(outs1[0]).reshape(grid_n, -1).max(axis=1)
+    unresolved = (overflow > 0) & (t_tile > near_dropped)
+    order = np.argsort(np.where(np.asarray(unresolved), 0, 1))
+    fb = min(grid_n, pc._FB_TILES)
+    sel = jnp.asarray(order[:fb], jnp.int32)
+    ro_g = srays.origin.reshape(grid_n, tile, 3)
+    rd_g = srays.direction.reshape(grid_n, tile, 3)
+    rfb = Ray(origin=jnp.take(ro_g, sel, axis=0).reshape(fb * tile, 3),
+              direction=jnp.take(rd_g, sel, axis=0).reshape(fb * tile, 3))
+    t_up = jnp.minimum(pc._key_t_up(outs1[0]).reshape(-1),
+                       t_eff.reshape(-1) if t_eff.ndim else t_eff)
+    t2 = jnp.take(t_up.reshape(grid_n, tile), sel, axis=0).reshape(fb * tile)
+    rfb, t2 = jax.block_until_ready((rfb, t2))
+    maxv_full = pc._pad128(C)
+
+    f_c2 = jax.jit(lambda ry, t: pc.cull_clusters_per_lane(
+        bvh.cluster_min, bvh.cluster_max, ry, t, fb * tile, maxv_full,
+        tile, single_level=True))
+    res, c2out = timeit(f_c2, rfb, t2, iters=3, warmup=1)
+    c2cnt = np.asarray(c2out[1])
+    print(f"fallback batch re-cull ({fb} tiles, full width): "
+          f"{res['amortized_s']*1e3:.1f} ms  counts mean={c2cnt.mean():.0f} "
+          f"p95={np.percentile(c2cnt, 95):.0f} sum={c2cnt.sum()}")
+
+    l2, c2, s2 = c2out[0], c2out[1], c2out[2]
+    pl_fb = jax.jit(lambda ry, t: pc._planes(ry, t, fb * tile))(rfb, t2)
+    k0 = jnp.take(outs1[0].reshape(grid_n, pc.TILE_ROWS, pc.LANES), sel,
+                  axis=0).reshape(fb * pc.TILE_ROWS, pc.LANES)
+    c0 = jnp.take(outs1[1].reshape(grid_n, pc.TILE_ROWS, pc.LANES), sel,
+                  axis=0).reshape(fb * pc.TILE_ROWS, pc.LANES)
+
+    def fbk(lsts, cnts_, scls, pls, kk0, cc0):
+        o = pl.pallas_call(
+            functools.partial(pc._closest_cluster_kernel, cb, maxv_full,
+                              False),
+            grid_spec=pc._grid_spec(fb, maxv_full, 2, False, pc.TILE_ROWS,
+                                    False),
+            out_shape=[jax.ShapeDtypeStruct((fb * pc.TILE_ROWS, pc.LANES),
+                                            jnp.int32)] * 2,
+        )(cnts_, scls, lsts.reshape(fb * 8, maxv_full // 8), bvh.tri_tab,
+          *pls, kk0, cc0)
+        return o[0].sum() + o[1].sum()
+
+    res, _ = timeit(jax.jit(fbk), l2, c2, s2, pl_fb, k0, c0,
+                    iters=3, warmup=1)
+    print(f"fallback batch kernel ({fb} tiles, warm): "
+          f"{res['amortized_s']*1e3:.1f} ms")
+
+    # ---- per-lane resolved masking: a lane with t_up <= near_dropped is
+    # already EXACT (every dropped cluster has near >= near_dropped), so
+    # the re-cull can treat it as dead (t=0); only the lanes that keep
+    # the tile unresolved contribute clusters ----
+    nd_t = jnp.take(near_dropped, sel, axis=0)  # (fb,)
+    t2m = jnp.where(
+        (t2.reshape(fb, tile) <= nd_t[:, None]).reshape(fb * tile), 0.0, t2)
+    t2m = jax.block_until_ready(t2m)
+    unres_lanes = int((np.asarray(t2m) > 0).sum())
+    print(f"unresolved lanes in batch: {unres_lanes} / {fb * tile}")
+    res, c2mout = timeit(f_c2, rfb, t2m, iters=3, warmup=1)
+    c2mc = np.asarray(c2mout[1])
+    print(f"fallback batch re-cull (lane-masked): "
+          f"{res['amortized_s']*1e3:.1f} ms  counts mean={c2mc.mean():.0f} "
+          f"p95={np.percentile(c2mc, 95):.0f} sum={c2mc.sum()}")
+    pl_fbm = jax.jit(lambda ry, t: pc._planes(ry, t, fb * tile))(rfb, t2m)
+    res, _ = timeit(jax.jit(fbk), c2mout[0], c2mout[1], c2mout[2], pl_fbm,
+                    k0, c0, iters=3, warmup=1)
+    print(f"fallback batch kernel (lane-masked, warm): "
+          f"{res['amortized_s']*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -1278,6 +1278,15 @@ def trace_closest_clusters_packed(
             # holding an improving triangle has near <= t_true < bound.
             t_up = jnp.minimum(_key_t_up(o[0]).reshape(-1)[:n], t_eff)
             t_up = jnp.pad(t_up, (0, n_pad - n)).reshape(grid_n, tile)
+            # a lane with t_up <= near_dropped is already EXACT — every
+            # dropped cluster has true near >= near_dropped (the packed
+            # near UNDERestimates) >= its achieved t — so treat it as
+            # dead (t=0) in the re-cull: pass-2 lists shrink to the
+            # demand of the lanes that actually kept the tile
+            # unresolved (same tie semantics as the tile-level
+            # `t_tile > near_dropped` check; the warm-start keys carry
+            # the masked lanes' results through the re-trace unchanged)
+            t_up = jnp.where(t_up <= near_dropped[:, None], 0.0, t_up)
             cull2 = cull_clusters_per_lane if refine else cull_clusters
 
             def body(st):
@@ -1433,6 +1442,18 @@ def trace_any_clusters(
         unresolved = (overflow > 0) & ~all_occ
         any_un = jnp.any(unresolved)
         maxv_full = _pad128(C)
+        fb = min(grid_n, _FB_TILES if tile >= 8 * LANES else 8 * _FB_TILES)
+
+        def run_fb(lsts, cnts, scls, planes_fb):
+            return pl.pallas_call(
+                functools.partial(_any_cluster_kernel, cb, maxv_full,
+                                  row_mode),
+                grid_spec=_grid_spec(fb, maxv_full, 1, False, tile_rows,
+                                     row_mode),
+                out_shape=jax.ShapeDtypeStruct((fb * out_rep, LANES),
+                                               jnp.int32),
+                interpret=interpret,
+            )(cnts, scls, lsts, tri_tab, *planes_fb)
 
         def fallback(o):
             # re-cull with t=0 for lanes already occluded (or outside
@@ -1441,17 +1462,54 @@ def trace_any_clusters(
             # full width so they cannot overflow.  Pass-2 re-tests from
             # scratch, so OR-merge keeps pass-1 occlusions (whose
             # clusters were deliberately culled out of pass 2).
+            #
+            # COMPACTED exactly like the closest-trace fallback: the
+            # dense full-width re-cull costs ~1.3 s when run over every
+            # tile, and the NEE shadow trace of each later PATH bounce
+            # was paying that whole-frame (this was most of the
+            # depth-sweep's +3.3 s per-bounce cost, round 4).
+            # Unresolved tiles are gathered into _FB_TILES batches and
+            # re-traced batch by batch in a while_loop.
+            n_un = unresolved.sum()
+            order = jnp.argsort(jnp.where(unresolved, 0, 1).astype(jnp.int32))
             lane_open = (o.reshape(-1)[:n] == 0) & jnp.repeat(
                 unresolved, n_pad // grid_n)[:n]
-            t2 = jnp.where(lane_open, t_eff, 0.0)
+            t2_all = jnp.where(lane_open, t_eff, 0.0)
+            t2_g = jnp.pad(t2_all, (0, n_pad - n)).reshape(grid_n, tile)
+            ro_g = jnp.pad(rays.origin, ((0, n_pad - n), (0, 0)),
+                           mode="edge").reshape(grid_n, tile, 3)
+            rd_g = jnp.pad(rays.direction, ((0, n_pad - n), (0, 0)),
+                           mode="edge").reshape(grid_n, tile, 3)
             cull2 = cull_clusters_per_lane if refine else cull_clusters
-            l2, c2, s2, _, _ = cull2(
-                cluster_min, cluster_max, rays, t2, n_pad, maxv_full,
-                tile, single_level=True)
-            counts_f = jnp.where(unresolved, c2, 0)
-            occ_f = run(l2.reshape(grid_n * 8, maxv_full // 8), counts_f,
-                        s2, maxv_full, False)
-            return o | occ_f
+
+            def body(st):
+                o, i = st
+                start = jnp.minimum(i * fb, jnp.int32(grid_n - fb))
+                sel = jax.lax.dynamic_slice(order, (start,), (fb,))
+                live = (start + jnp.arange(fb, dtype=jnp.int32)) < n_un
+                rfb = Ray(
+                    origin=jnp.take(ro_g, sel, axis=0).reshape(fb * tile, 3),
+                    direction=jnp.take(rd_g, sel, axis=0).reshape(fb * tile, 3),
+                )
+                t2 = jnp.take(t2_g, sel, axis=0).reshape(fb * tile)
+                t2 = jnp.where(jnp.repeat(live, tile), t2, 0.0)
+                l2, c2, s2, _, _ = cull2(
+                    cluster_min, cluster_max, rfb, t2, fb * tile,
+                    maxv_full, tile, single_level=True)
+                occ_f = run_fb(
+                    l2.reshape(fb * 8, maxv_full // 8),
+                    jnp.where(live, c2, 0), s2,
+                    _planes(rfb, t2, fb * tile),
+                ).reshape(fb, out_rep, LANES)
+                o_g = o.reshape(grid_n, out_rep, LANES)
+                sel_prev = jnp.take(o_g, sel, axis=0)
+                merged = sel_prev | jnp.where(live[:, None, None], occ_f, 0)
+                o = o_g.at[sel].set(merged).reshape(grid_n * out_rep, LANES)
+                return o, i + 1
+
+            o, _ = jax.lax.while_loop(
+                lambda st: st[1] * fb < n_un, body, (o, jnp.int32(0)))
+            return o
 
         occ = jax.lax.cond(any_un, fallback, lambda o: o, occ)
         stats = {
