@@ -141,7 +141,14 @@ def main():
         bvh, Ray(origin=borig, direction=sdir),
         t_max=jnp.where(alive, dist * 0.999, 0.0), refine=True)[0].sum())
     res, _ = timeit(f_sh, iters=3, warmup=1)
-    print(f"NEE shadow any-hit trace: {res['amortized_s']*1e3:.1f} ms")
+    print(f"NEE shadow any-hit trace (unsorted): {res['amortized_s']*1e3:.1f} ms")
+    f_shs = jax.jit(lambda: trace_any_with_stats(
+        bvh, Ray(origin=borig, direction=sdir),
+        t_max=jnp.where(alive, dist * 0.999, 0.0), refine=True,
+        coherent=False)[0].sum())
+    res, _ = timeit(f_shs, iters=3, warmup=1)
+    print(f"NEE shadow any-hit trace (corridor-sorted): "
+          f"{res['amortized_s']*1e3:.1f} ms")
 
     if "--skip-frame" not in sys.argv:
         import time as _t

@@ -1386,12 +1386,19 @@ def trace_any_clusters(
     tile_rows: int = TILE_ROWS,
     refine: bool = False,
     interpret: bool = False,
+    t_eff: jnp.ndarray | None = None,
 ):
     """Occlusion query; returns (occluded (N,) bool, stats dict).
 
     Like trace_closest_clusters, cull overflow is checked: a tile that
     dropped clusters and still has unoccluded lanes is re-traced against
     the full list.
+
+    ``t_eff`` (optional (N,) f32): precomputed conservative per-ray t
+    bound (same contract as in :func:`trace_closest_clusters_packed`);
+    callers that already ran the supercluster sweep — e.g. the sorted
+    shadow-trace path deriving its coherence keys from
+    :func:`corridor_keys_and_t_bounds` — pass it to skip a second sweep.
     """
     n = rays.origin.shape[0]
     C = cluster_min.shape[0]
@@ -1410,7 +1417,8 @@ def trace_any_clusters(
         n_pad = grid_n * tile
         out_rep = tile_rows
 
-    t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
+    if t_eff is None:
+        t_eff = ray_t_bounds(cluster_min, cluster_max, rays, t_max)
     if refine:
         maxv = (_pad128(min(_ROW_MAX_VISITS, C)) if row_mode
                 else _pad128(min(_SC_KEEP * _SC_GROUP, C)))

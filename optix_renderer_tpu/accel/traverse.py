@@ -128,11 +128,59 @@ def trace_any(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF) -> jnp.ndarra
     return occ
 
 
+def trace_any_clusters_sorted(bvh: BVH, rays: Ray, t_max=_INF,
+                              refine: bool = True, interpret: bool = False):
+    """Corridor-sorted occlusion query on the cluster tier (the
+    incoherent-shadow-ray analog of engine.shade's sorted closest
+    trace).  One supercluster sweep yields both the coherence sort key
+    and the per-ray t bound; the packed any-trace runs on the sorted
+    rays with the precomputed bound and the occlusion bits are unsorted
+    after.  Lanes with ``t_max <= 0`` are rewritten to an above-scene
+    up-ray so the key packs them into wholly-inert tiles."""
+    from .pallas_cluster import corridor_keys_and_t_bounds, trace_any_clusters
+
+    n = rays.origin.shape[0]
+    tmax_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    out_o = bvh.cluster_max.max(axis=0) + 1.0  # above everything
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    m = (tmax_b > 0.0)[:, None]
+    rays_m = Ray(
+        origin=jnp.where(m, rays.origin, out_o[None, :]),
+        direction=jnp.where(m, rays.direction, up[None, :]),
+    )
+    keys, te = corridor_keys_and_t_bounds(
+        bvh.cluster_min, bvh.cluster_max, rays_m, tmax_b)
+    perm = jnp.argsort(keys)
+    od = jnp.concatenate(
+        [rays_m.origin, rays_m.direction, te[:, None]], axis=1)
+    od_s = jnp.take(od, perm, axis=0)
+    occ_s, stats = trace_any_clusters(
+        bvh.tri_tab, bvh.cluster_min, bvh.cluster_max,
+        Ray(origin=od_s[:, 0:3], direction=od_s[:, 3:6]),
+        refine=refine, t_eff=od_s[:, 6], interpret=interpret,
+    )
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jnp.take(occ_s, inv, axis=0), stats
+
+
 def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF,
-                         refine: bool = False):
+                         refine: bool = False, coherent: bool = True):
     """Visibility query returning (occluded, trace stats dict) — the stats
     carry the cluster tier's cull-overflow/re-trace observability
-    (pallas_cluster.zero_trace_stats keys; zeros on the other tiers)."""
+    (pallas_cluster.zero_trace_stats keys; zeros on the other tiers).
+
+    ``coherent=False`` (NEE shadow rays at bounce depth: origins are
+    scattered hit points) corridor-sorts the rays before the cluster
+    tier exactly like the incoherent closest trace (engine.shade) and
+    unsorts the occlusion bits after — the tier culls per ray TILE, so
+    image-order shadow tiles degenerate to the frustum-union of 1024
+    scattered rays.  Occlusion is sort-invariant (the cull is
+    conservative and overflow checked), so this only moves performance.
+    Lanes with ``t_max <= 0`` (dead path lanes) are rewritten to a ray
+    above the scene pointing up: the corridor key packs them into
+    wholly-inert tiles that cost nothing in the cull or the kernel.
+    """
     from .pallas_cluster import zero_trace_stats
 
     T = bvh.tri_v0.shape[0]
@@ -144,10 +192,12 @@ def trace_any_with_stats(bvh: BVH, rays: Ray, t_min: float = 0.0, t_max=_INF,
             return trace_any_tiles(bvh.tri_tab, rays, t_max=t_max), zero_trace_stats()
         from .pallas_cluster import trace_any_clusters
 
-        return trace_any_clusters(
-            bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays, t_max=t_max,
-            refine=refine,
-        )
+        if coherent:
+            return trace_any_clusters(
+                bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
+                t_max=t_max, refine=refine,
+            )
+        return trace_any_clusters_sorted(bvh, rays, t_max, refine=refine)
     if T <= BRUTE_MAX_TRIS:
         return trace_any_brute(bvh, rays, t_min, t_max), zero_trace_stats()
     return trace_any_bvh(bvh, rays, t_min, t_max), zero_trace_stats()

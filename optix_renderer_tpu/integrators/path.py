@@ -145,9 +145,13 @@ def path_color(
         # dead lanes get t_max = 0: the cluster tier's per-ray t bound
         # then culls them for free (alive is folded into nee_ok below
         # anyway, so the result is unchanged)
+        # shadow origins are the current bounce's scattered hit points:
+        # corridor-sort them like the bounce closest trace (coherent=
+        # False) — image-order shadow tiles pay the frustum-union of
+        # 1024 scattered rays in the tile-granular cluster cull
         occluded, any_stats = trace_any_with_stats(
             bvh, shadow_ray, t_max=jnp.where(alive, dist * (1.0 - 1e-3), 0.0),
-            refine=True,
+            refine=True, coherent=False,
         )
 
         light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))

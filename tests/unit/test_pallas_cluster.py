@@ -654,3 +654,43 @@ def test_sc_cap_overflow_checked_at_full_list_width(big_setup, monkeypatch):
         t_max=jnp.full((n,), 1e5, jnp.float32), refine=True, interpret=True,
     )
     assert (np.asarray(occ) == (want_ids >= 0)).all()
+
+
+def test_sorted_any_trace_matches_oracle(big_setup):
+    """The corridor-sorted shadow trace (traverse.trace_any_clusters_
+    sorted — PATH's NEE path on big scenes) must equal the brute oracle
+    with per-ray finite t_max, including dead lanes (t_max = 0, the
+    masked path lanes) that the sort packs into inert tiles."""
+    from optix_renderer_tpu.accel.traverse import trace_any_clusters_sorted
+
+    r = big_setup
+    bvh = r.bvh
+
+    rng = np.random.default_rng(23)
+    n = 1000  # partial tile on purpose
+    lo = np.asarray(bvh.cluster_min.min(axis=0))
+    hi = np.asarray(bvh.cluster_max.max(axis=0))
+    o = lo + rng.random((n, 3), np.float32) * (hi - lo)
+    o[:, 1] = hi[1] * 1.2
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.asarray(o, jnp.float32),
+               direction=jnp.asarray(d, jnp.float32))
+    scale = float(np.linalg.norm(hi - lo))
+    t_max = (rng.random(n, np.float32) * scale).astype(np.float32)
+    t_max[::5] = 0.0  # dead path lanes
+
+    occ, _ = trace_any_clusters_sorted(
+        bvh, rays, t_max=jnp.asarray(t_max), interpret=True)
+
+    tris = jnp.stack(
+        [bvh.tri_v0, bvh.tri_v0 + bvh.tri_e1, bvh.tri_v0 + bvh.tri_e2], axis=1
+    )
+    want = intersect_brute(tris, rays)
+    want_t = np.asarray(want.t)
+    want_occ = (np.asarray(want.tri_id) >= 0) & (want_t < t_max)
+    # exclude closest hits within quantization reach of the t_max cut
+    clear = np.abs(want_t - t_max) > 1e-3 * np.maximum(t_max, 1.0)
+    assert want_occ[clear].mean() > 0.1  # the case is non-trivial
+    assert (~want_occ[t_max == 0.0]).all()
+    assert (np.asarray(occ)[clear] == want_occ[clear]).all()
