@@ -750,6 +750,84 @@ _LOCAL_MASK = GROUP_CLUSTER - 1  # low key bits: triangle id within cluster
 _MISS_KEY = np.int32(0x7FFFFFFF)
 
 
+def bake_shared_origin_tab(tri_tab: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+    """Shared-origin rebake of the grouped cluster table: Moller-Trumbore
+    terms that depend only on (triangle, origin) are precomputed so the
+    kernel's per-(triangle, ray) test shrinks from ~60 to ~29 vector ops.
+
+    Primary rays all share ONE origin (pinhole camera,
+    engine/camera.py:61 broadcasts ``camera.pos``; the reference's raygen
+    does the same, cuda_src/deviceCode.cu:70-74), so with ``T = o - v0``
+    the triple-product identities
+        det = e1 . (d x e2) = d . (e2 x e1)
+        u   = T  . (d x e2) / det = d . (e2 x T) / det
+        v   = d  . (T x e1) / det
+        t   = e2 . (T x e1) / det          (ray-independent numerator!)
+    turn the per-ray work into three dot products against per-triangle
+    constants plus one reciprocal.  This costs one elementwise pass over
+    the 64 MB table per camera position (~1 ms-class, done in-jit per
+    frame) and wins ~2x on the MT-compute-bound visit loop of coherent
+    primary traces.
+
+    Baked layout per triangle (replacing attrs 0-9 of the grouped table;
+    attrs 10-15 — including the cluster AABB in the pad columns that
+    ``_lane_slab`` reads — pass through unchanged):
+        0-2  n2 = e2 x e1     (det = d . n2)
+        3-5  uvec = e2 x T    (u = (d . uvec) * inv)
+        6-8  vvec = T x e1    (v = (d . vvec) * inv)
+        9    tconst = e2 . vvec   (t = tconst * inv)
+    Degenerate padding triangles (e1 = e2 = 0) bake to n2 = 0 => det = 0
+    => miss, exactly like the unbaked table.
+    """
+    R8, L = tri_tab.shape
+    C = R8 // 8
+    a = tri_tab.reshape(C, 8, 8, 16)  # (cluster, sublane, group, attr)
+    c = lambda j: a[..., j]
+    v0x, v0y, v0z = c(0), c(1), c(2)
+    e1x, e1y, e1z = c(3), c(4), c(5)
+    e2x, e2y, e2z = c(6), c(7), c(8)
+    origin = jnp.asarray(origin, jnp.float32)
+    tx = origin[0] - v0x
+    ty = origin[1] - v0y
+    tz = origin[2] - v0z
+    n2x = e2y * e1z - e2z * e1y
+    n2y = e2z * e1x - e2x * e1z
+    n2z = e2x * e1y - e2y * e1x
+    ux = e2y * tz - e2z * ty
+    uy = e2z * tx - e2x * tz
+    uz = e2x * ty - e2y * tx
+    vx = ty * e1z - tz * e1y
+    vy = tz * e1x - tx * e1z
+    vz = tx * e1y - ty * e1x
+    tc = e2x * vx + e2y * vy + e2z * vz
+    out = a
+    for j, col in enumerate((n2x, n2y, n2z, ux, uy, uz, vx, vy, vz, tc)):
+        out = out.at[..., j].set(col)
+    return out.reshape(R8, L)
+
+
+def _mt_chunk_baked(c, dx, dy, dz):
+    """Shared-origin Moller-Trumbore for one baked (8, 16) chunk accessor
+    (see :func:`bake_shared_origin_tab` for the column layout) vs
+    (ROWS, 128) ray direction planes.  Returns (hit, t) — the packed-key
+    kernel never consumes per-chunk (u, v); exact values are recomputed
+    post-trace from the unbaked geometry."""
+    d_x, d_y, d_z = dx[None], dy[None], dz[None]
+    det = d_x * c(0) + d_y * c(1) + d_z * c(2)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    u = (d_x * c(3) + d_y * c(4) + d_z * c(5)) * inv
+    v = (d_x * c(6) + d_y * c(7) + d_z * c(8)) * inv
+    t = c(9) * inv
+    hit = (
+        (jnp.abs(det) >= 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return hit, t
+
+
 def _key_t_up(key):
     """Conservative per-lane t decode of a packed key: OR-ing the local
     bits back gives an f32 >= the true hit t (positive-float bit order)."""
@@ -761,7 +839,8 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int, row_mode: bool,
                             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                             tmax_ref, key0_ref, cid0_ref,
                             key_ref, cid_ref,
-                            lst_scr, buf, sems, lsem, tb_ref):
+                            lst_scr, buf, sems, lsem, tb_ref, *,
+                            baked: bool = False):
     """Branchless packed-key closest hit, _VISIT_GROUP clusters/iteration.
 
     Per lane the running state is ONE int32 ``key = (f32 bits of t with
@@ -891,10 +970,14 @@ def _closest_cluster_kernel(cid_bits: int, maxv: int, row_mode: bool,
                     for ci in range(GROUP_CLUSTER // TRI_SUB):  # static
                         # chunks are independent (no running-t
                         # dependency): ordering is in the packed keys
-                        hit, tc, _, _ = _mt_chunk(
-                            _chunk_cols(blks[j], ci),
-                            ox, oy, oz, dx, dy, dz, None,
-                        )
+                        if baked:  # shared-origin table: ~2x fewer VPU ops
+                            hit, tc = _mt_chunk_baked(
+                                _chunk_cols(blks[j], ci), dx, dy, dz)
+                        else:
+                            hit, tc, _, _ = _mt_chunk(
+                                _chunk_cols(blks[j], ci),
+                                ox, oy, oz, dx, dy, dz, None,
+                            )
                         bits = jax.lax.bitcast_convert_type(tc, jnp.int32)
                         local = jax.lax.broadcasted_iota(
                             jnp.int32, bits.shape, 0) + ci * TRI_SUB
@@ -1137,8 +1220,19 @@ def trace_closest_clusters_packed(
     interpret: bool = False,
     return_lists: bool = False,
     t_eff: jnp.ndarray | None = None,
+    baked_tab: jnp.ndarray | None = None,
 ):
     """Raw packed trace: returns (key (N,) i32, cid (N,) i32, stats).
+
+    ``baked_tab`` (optional, same (C*8, 128) grouped shape as
+    ``tri_tab``): a shared-origin table from
+    :func:`bake_shared_origin_tab`.  When provided, the kernels (main
+    pass AND the checked overflow fallback) intersect with the ~2x
+    cheaper baked arithmetic; only valid when every ray's origin equals
+    the baked origin (primary rays).  Culling, decode and shading still
+    use the unbaked tables, so results are identical up to float
+    reordering of the SAME Moller-Trumbore products (winner selection
+    among hits tied within the key quantum was already arbitrary).
 
     ``t_eff`` (optional (N,) f32): precomputed per-ray conservative t
     bound, exactly :func:`ray_t_bounds`'s contract (any real hit has
@@ -1209,13 +1303,21 @@ def trace_closest_clusters_packed(
     key_cold = (tb & ~_LOCAL_MASK) | _LOCAL_MASK
     cid_cold = jnp.full(tb.shape, -1, jnp.int32)
 
+    if baked_tab is not None:
+        assert baked_tab.shape == tri_tab.shape, (
+            "baked_tab must be the grouped table rebaked by "
+            "bake_shared_origin_tab (same shape as tri_tab)"
+        )
+    ktab = tri_tab if baked_tab is None else baked_tab
+
     def run(lsts, cnts, scls, mv, shared, key0, cid0):
         return pl.pallas_call(
-            functools.partial(_closest_cluster_kernel, cb, mv, row_mode),
+            functools.partial(_closest_cluster_kernel, cb, mv, row_mode,
+                              baked=baked_tab is not None),
             grid_spec=_grid_spec(grid_n, mv, 2, shared, tile_rows, row_mode),
             out_shape=out_shape,
             interpret=interpret,
-        )(cnts, scls, lsts, tri_tab, *planes, key0, cid0)
+        )(cnts, scls, lsts, ktab, *planes, key0, cid0)
 
     outs = tuple(run(lists, counts, scales, maxv, False, key_cold, cid_cold))
 
@@ -1257,12 +1359,12 @@ def trace_closest_clusters_packed(
             out_sh = [jax.ShapeDtypeStruct((fb * out_rep, LANES), jnp.int32)] * 2
             return pl.pallas_call(
                 functools.partial(_closest_cluster_kernel, cb, maxv_full,
-                                  row_mode),
+                                  row_mode, baked=baked_tab is not None),
                 grid_spec=_grid_spec(fb, maxv_full, 2, False, tile_rows,
                                      row_mode),
                 out_shape=out_sh,
                 interpret=interpret,
-            )(cnts, scls, lsts, tri_tab, *planes_fb, key0, cid0)
+            )(cnts, scls, lsts, ktab, *planes_fb, key0, cid0)
 
         def fallback(o):
             n_un = unresolved.sum()
@@ -1355,6 +1457,7 @@ def trace_closest_clusters(
     tile_rows: int = TILE_ROWS,
     refine: bool = False,
     interpret: bool = False,
+    baked_tab: jnp.ndarray | None = None,
 ):
     """Returns (Hit in ORIGINAL triangle ids, stats dict — see
     ``zero_trace_stats`` keys).  The kernel tracks only a packed
@@ -1368,7 +1471,7 @@ def trace_closest_clusters(
     key, cid, t_eff, stats = trace_closest_clusters_packed(
         tri_tab, cluster_min, cluster_max, rays, t_max,
         max_visits=max_visits, tile_rows=tile_rows, refine=refine,
-        interpret=interpret,
+        interpret=interpret, baked_tab=baked_tab,
     )
     hit = _decode_hits(key, cid, geom_tab, rays, t_eff, n)
     return hit, stats

@@ -11,6 +11,7 @@ in-place on device.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,9 @@ from ..scene.config import Scene, SceneCamera
 from ..scene.device import DeviceScene, build_device_scene
 from . import camera as cameralib
 from .modes import DETERMINISTIC_MODES, GBUFFER_MODES, RendererType
+
+# A/B kill-switch for the shared-origin baked-table primary trace
+_BAKED_MT = os.environ.get("OPTIX_TPU_BAKED_MT", "1") == "1"
 
 
 def _block_dim(x: int) -> int:
@@ -91,7 +95,21 @@ def render_tile(
     rays = cameralib.primary_rays(camera, width, height, ju, jv, lin=lin)
     from ..accel.pallas_cluster import merge_trace_stats
 
-    si, tstats = trace_closest_si(ds, bvh, rays)
+    # Primary rays share ONE origin (camera.pos): on the cluster tier,
+    # rebake the grouped triangle table against it so the visit loop runs
+    # the ~2x-cheaper shared-origin Moller-Trumbore (the MT block is the
+    # measured bottleneck of coherent big-scene traces — docs/ROADMAP.md).
+    # One elementwise pass over the table per frame; jit DCEs it on the
+    # brute/CPU tiers where it is never consumed.
+    baked_tab = None
+    if _BAKED_MT:
+        from ..accel.pallas_cluster import bake_shared_origin_tab
+        from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu
+
+        if not _on_cpu() and bvh.tri_v0.shape[0] > PALLAS_BRUTE_MAX_TRIS:
+            baked_tab = bake_shared_origin_tab(bvh.tri_tab, camera.pos)
+
+    si, tstats = trace_closest_si(ds, bvh, rays, baked_tab=baked_tab)
 
     aux: dict[str, jnp.ndarray] = {}
     if mode in GBUFFER_MODES:

@@ -304,6 +304,7 @@ def _coherence_keys(rays: Ray, lo, hi) -> jnp.ndarray:
 def trace_closest_si(
     ds: DeviceScene, bvh, rays: Ray, miss_color: jnp.ndarray | None = None,
     coherent: bool = True, active: jnp.ndarray | None = None,
+    baked_tab: jnp.ndarray | None = None,
 ):
     """Trace + shade in one step, picking the fastest correct path for the
     backend/scene size (the single entry point integrators should use).
@@ -333,6 +334,12 @@ def trace_closest_si(
     if not _on_cpu() and T > PALLAS_BRUTE_MAX_TRIS:
         from ..accel.pallas_cluster import trace_closest_clusters_packed
 
+        # the active-lane rewrite moves dead-lane origins above the scene,
+        # which would break the shared-origin contract of a baked table
+        assert baked_tab is None or active is None, (
+            "baked_tab requires untouched shared-origin rays (active mask "
+            "lanes are rewritten to a different origin)"
+        )
         if active is not None:
             out_o = bvh.cluster_max.max(axis=0) + 1.0  # above everything
             up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -346,10 +353,13 @@ def trace_closest_si(
                 GROUP_CLUSTER, _LOCAL_MASK, fetch_winner_attrs,
             )
 
+            # baked_tab: shared-origin (primary) rays intersect with the
+            # rebaked table (pallas_cluster.bake_shared_origin_tab) — the
+            # caller asserts the origins match the baked one
             key, cid, _t_eff, stats, (cids_l, cnts) = (
                 trace_closest_clusters_packed(
                     bvh.tri_tab, bvh.cluster_min, bvh.cluster_max, rays,
-                    return_lists=True,
+                    return_lists=True, baked_tab=baked_tab,
                 )
             )
             if _WINNER_ATTRS:
