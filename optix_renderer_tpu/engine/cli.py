@@ -201,20 +201,21 @@ def main(argv=None) -> int:
             r.metrics["seconds"] += time.perf_counter() - t_loop
             r.state = state  # image()/checkpoints gather lazily
             # honest ray accounting, matching Renderer.render/metrics:
-            # primary + RATIO shadow samples + 2 rays (NEE + bounce) per
-            # alive lane per bounce, aggregated across the device shards
+            # primary + RATIO shadow samples + the NEE/bounce rays the
+            # tiers actually traced, aggregated across the device shards
             n_px = width * height
             rays = spp * n_px
             if mode == RendererType.RATIO:
                 rays += spp * n_px * r.ratio_samples
             if alive_frames:
-                # each frame's counts: (n_devices * depth,) shard-stacked
+                # each frame's counts: (n_devices * depth, 3) shard-stacked
+                # [alive, shadow rays traced, bounce rays traced] rows
                 alive = np.stack(
-                    [np.asarray(a, np.int64).reshape(args.devices, -1).sum(axis=0)
+                    [np.asarray(a, np.int64).reshape(args.devices, -1, 3).sum(axis=0)
                      for a in alive_frames]
                 )
-                rays += 2 * int(alive.sum())
-                r.metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
+                rays += int(alive[:, :, 1:].sum())
+                r.metrics["alive_per_bounce"] = [int(a) for a in alive[-1][:, 0]]
             for ov, rt, un in stat_frames:
                 r.metrics["cull_overflow"] += int(np.asarray(ov).sum())
                 r.metrics["cull_retraces"] += int(np.asarray(rt).sum())

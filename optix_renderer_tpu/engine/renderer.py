@@ -499,11 +499,14 @@ class Renderer:
         """Observability dict; drains device-side per-bounce counts on
         access (keeps sync transfers out of the render loop)."""
         if self._pending_counts:
+            # (frames, depth, 3): [alive lanes, shadow rays traced, bounce
+            # rays traced] per bounce (integrators.path.path_color)
             alive = np.stack([np.asarray(c, np.int64) for c in self._pending_counts])
             self._pending_counts = []
-            self._metrics["alive_per_bounce"] = [int(a) for a in alive[-1]]
-            # NEE visibility + BSDF bounce per alive lane per frame
-            self._metrics["rays_traced"] += 2 * int(alive.sum())
+            self._metrics["alive_per_bounce"] = [int(a) for a in alive[-1][:, 0]]
+            # honest: only the NEE visibility + BSDF bounce rays the
+            # tiers actually traced (zero-contribution lanes are culled)
+            self._metrics["rays_traced"] += int(alive[:, :, 1:].sum())
         if self._pending_stats:
             for ov, rt, un in self._pending_stats:
                 self._metrics["cull_overflow"] += int(np.asarray(ov).sum())

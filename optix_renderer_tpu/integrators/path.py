@@ -79,9 +79,11 @@ def path_color(
     ray_eps: float = 1e-3,
 ):
     """Radiance for each primary ray; returns (color (N, 3), rng_state,
-    alive_counts (max_depth,), trace_stats).  alive_counts holds lanes
-    alive at each bounce, for ray-count accounting (each alive lane traces
-    one NEE shadow ray + one bounce ray).
+    alive_counts (max_depth, 3), trace_stats).  alive_counts columns per
+    bounce: [0] lanes alive (observability), [1] NEE shadow rays actually
+    traced (lanes whose contribution is not provably zero), [2] bounce
+    closest rays actually traced (valid BSDF samples) — honest ray
+    accounting for the Mrays metric instead of 2x the alive count.
 
     Outer PATH-mode wrapping (deviceCode.cu:146-153): miss lanes get the
     background, direct light hits get raw emission; everything else is the
@@ -100,7 +102,7 @@ def path_color(
     # initial state: first-hit surface; V points back toward the camera
     v0 = cm.normalize(rays.origin - si.p, eps=1e-30)
     init = dict(
-        alive_counts=jnp.zeros((max_depth,), jnp.int32),
+        alive_counts=jnp.zeros((max_depth, 3), jnp.int32),
         trace_stats=zero_trace_stats(),
         color=jnp.zeros((n, 3), jnp.float32),
         tp=jnp.ones((n, 3), jnp.float32),
@@ -115,7 +117,6 @@ def path_color(
 
     def bounce(d, s):
         alive = s["alive"]
-        alive_counts = s["alive_counts"].at[d].set(jnp.sum(alive.astype(jnp.int32)))
         to_local, to_world = cm.orthonormal_basis(s["n"])
         wo_local = cm.normalize(cm.apply_mat(to_local, s["v"]), eps=1e-30)
 
@@ -141,25 +142,34 @@ def path_color(
         dist = jnp.sqrt(dist2)
         ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
 
-        shadow_ray = Ray(origin=shadow_origin, direction=ldir)
-        # dead lanes get t_max = 0: the cluster tier's per-ray t bound
-        # then culls them for free (alive is folded into nee_ok below
-        # anyway, so the result is unchanged)
-        # shadow origins are the current bounce's scattered hit points:
-        # corridor-sort them like the bounce closest trace (coherent=
-        # False) — image-order shadow tiles pay the frustum-union of
-        # 1024 scattered rays in the tile-granular cluster cull
-        occluded, any_stats = trace_any_with_stats(
-            bvh, shadow_ray, t_max=jnp.where(alive, dist * (1.0 - 1e-3), 0.0),
-            refine=True, coherent=False,
-        )
-
         light_pdf_w = pdf_area_to_solid_angle(light_pdf_a, dist2, cm.dot(-ldir, lnormal))
         wi_local_nee = cm.normalize(cm.apply_mat(to_local, ldir), eps=1e-30)
         brdf_pdf_nee = material.pdf(wi_local_nee, wo_local, s["diffuse"], s["alpha"])
         brdf_nee = material.evaluate(wi_local_nee, wo_local, s["diffuse"], s["alpha"])
         mis_nee = cm.balance_heuristic(1, light_pdf_w, 1, brdf_pdf_nee)
-        nee_ok = alive & ~occluded & (light_pdf_w > 0.0)
+
+        shadow_ray = Ray(origin=shadow_origin, direction=ldir)
+        # Lanes whose NEE contribution is provably zero need no visibility
+        # query: dead lanes, zero light pdf, and light samples below the
+        # BSDF hemisphere (both lobes return 0 outside same_hemisphere,
+        # shading/bsdf.py:78,88).  Their t_max = 0 makes the cluster
+        # tier's per-ray t bound cull them for free and the corridor sort
+        # pack them into wholly-inert tiles.  Exact: ``occluded`` is
+        # consumed only by nee_ok, which is false for these lanes either
+        # way.
+        # Shadow origins are the current bounce's scattered hit points:
+        # corridor-sort them like the bounce closest trace (coherent=
+        # False) — image-order shadow tiles pay the frustum-union of
+        # 1024 scattered rays in the tile-granular cluster cull
+        shadow_needed = (
+            alive & (light_pdf_w > 0.0) & jnp.any(brdf_nee != 0.0, axis=-1)
+        )
+        occluded, any_stats = trace_any_with_stats(
+            bvh, shadow_ray,
+            t_max=jnp.where(shadow_needed, dist * (1.0 - 1e-3), 0.0),
+            refine=True, coherent=False,
+        )
+        nee_ok = shadow_needed & ~occluded
         nee = (
             mis_nee[:, None]
             * lemit
@@ -205,6 +215,10 @@ def path_color(
         continue_path = sample_ok & bounce_si.hit & ~bounce_si.is_light
         new_tp = s["tp"] * brdf * (cos_i / safe_pdf)[:, None]
         c = continue_path[:, None]
+        i32sum = lambda m: jnp.sum(m.astype(jnp.int32))
+        alive_counts = s["alive_counts"].at[d].set(
+            jnp.stack([i32sum(alive), i32sum(shadow_needed), i32sum(sample_ok)])
+        )
         return dict(
             alive_counts=alive_counts,
             trace_stats=merge_trace_stats(
