@@ -387,6 +387,12 @@ def trace_closest_si(
                 )
                 return si, stats
         else:
+            # corridor-sorted rays have scattered origins — a baked
+            # shared-origin table is meaningless here and silently
+            # ignoring it would hide the caller's perf bug
+            assert baked_tab is None, (
+                "baked_tab only applies to coherent (shared-origin) traces"
+            )
             from ..accel.pallas_cluster import corridor_keys_and_t_bounds
 
             # corridor sort key + per-ray t bound from ONE supercluster
