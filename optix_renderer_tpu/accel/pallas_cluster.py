@@ -800,9 +800,16 @@ def bake_shared_origin_tab(tri_tab: jnp.ndarray, origin: jnp.ndarray) -> jnp.nda
     vy = tz * e1x - tx * e1z
     vz = tx * e1y - ty * e1x
     tc = e2x * vx + e2y * vy + e2z * vz
-    out = a
-    for j, col in enumerate((n2x, n2y, n2z, ux, uy, uz, vx, vy, vz, tc)):
-        out = out.at[..., j].set(col)
+    # ONE stacked materialization: the original 10 sequential
+    # .at[..., j].set() full-array updates each copied the 64 MB table
+    # (measured 122 ms/bake on v5e — more than the ~18 ms the baked
+    # kernel saves per 1M-ray trace); stacking lets XLA emit a single
+    # fused relayout pass
+    out = jnp.stack(
+        [n2x, n2y, n2z, ux, uy, uz, vx, vy, vz, tc]
+        + [c(j) for j in range(10, 16)],
+        axis=-1,
+    )  # (C, 8, 8, 16)
     return out.reshape(R8, L)
 
 

@@ -53,6 +53,7 @@ def render_tile(
     rows: int,
     path_depth: int,
     ratio_samples: int,
+    baked_tab=None,
 ):
     """Render a horizontal tile of ``rows`` image rows starting at
     ``row_offset`` (traced scalar) of the full width x height frame.
@@ -95,20 +96,14 @@ def render_tile(
     rays = cameralib.primary_rays(camera, width, height, ju, jv, lin=lin)
     from ..accel.pallas_cluster import merge_trace_stats
 
-    # Primary rays share ONE origin (camera.pos): on the cluster tier,
-    # rebake the grouped triangle table against it so the visit loop runs
-    # the ~2x-cheaper shared-origin Moller-Trumbore (the MT block is the
-    # measured bottleneck of coherent big-scene traces — docs/ROADMAP.md).
-    # One elementwise pass over the table per frame; jit DCEs it on the
-    # brute/CPU tiers where it is never consumed.
-    baked_tab = None
-    if _BAKED_MT:
-        from ..accel.pallas_cluster import bake_shared_origin_tab
-        from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu
-
-        if not _on_cpu() and bvh.tri_v0.shape[0] > PALLAS_BRUTE_MAX_TRIS:
-            baked_tab = bake_shared_origin_tab(bvh.tri_tab, camera.pos)
-
+    # ``baked_tab``: shared-origin rebaked triangle table for the cluster
+    # tier's cheaper primary-ray Moller-Trumbore (accel/pallas_cluster.
+    # bake_shared_origin_tab).  Primary origins are camera.pos, which is
+    # FRAME-INVARIANT under progressive accumulation, so the Renderer
+    # bakes once per camera move on the host side and passes the table in
+    # — baking inside the frame cost 24 ms/dispatch at 1M tris (measured,
+    # benchmarks/prof_baked.py), more than the ~5-18 ms the baked kernel
+    # saves, and single-frame dispatch chains paid it every frame.
     si, tstats = trace_closest_si(ds, bvh, rays, baked_tab=baked_tab)
 
     aux: dict[str, jnp.ndarray] = {}
@@ -160,6 +155,7 @@ def _frame_impl(
     state: RenderState,
     ds: DeviceScene,
     bvh: BVH,
+    baked_tab=None,
     *,
     mode: RendererType,
     width: int,
@@ -169,9 +165,11 @@ def _frame_impl(
 ):
     """One single-chip frame: the whole image is one tile.
 
-    ``frame(state, ds, bvh) -> (state', gbuffers, aux)`` where ``aux`` is a
-    dict of extra per-mode buffers (ratio estimator outputs,
-    deviceCode.cu:117-144).  mode/shape parameters are jit-static.
+    ``frame(state, ds, bvh[, baked_tab]) -> (state', gbuffers, aux)``
+    where ``aux`` is a dict of extra per-mode buffers (ratio estimator
+    outputs, deviceCode.cu:117-144).  mode/shape parameters are
+    jit-static; ``baked_tab`` is the Renderer's per-camera shared-origin
+    table (None off the cluster tier).
     """
     color, gb, aux = render_tile(
         state.camera,
@@ -185,6 +183,7 @@ def _frame_impl(
         rows=height,
         path_depth=path_depth,
         ratio_samples=ratio_samples,
+        baked_tab=baked_tab,
     )
     accum = state.accum + color.reshape(height, width, 3)
     new_state = RenderState(accum=accum, accum_id=state.accum_id + 1, camera=state.camera)
@@ -195,6 +194,7 @@ def _frames_scan_impl(
     state: RenderState,
     ds: DeviceScene,
     bvh: BVH,
+    baked_tab=None,
     *,
     n: int,
     mode: RendererType,
@@ -229,6 +229,7 @@ def _frames_scan_impl(
             st.camera, st.accum_id, ds, bvh, 0,
             mode=mode, width=width, height=height, rows=height,
             path_depth=path_depth, ratio_samples=ratio_samples,
+            baked_tab=baked_tab,
         )
         accum = st.accum + color.reshape(height, width, 3)
         if mode == RendererType.RATIO:
@@ -273,15 +274,35 @@ _frame_jit = jax.jit(
 )
 
 
-def _jitted_frame_fn(mode: RendererType, width: int, height: int, path_depth: int, ratio_samples: int):
+def _jitted_frame_fn(mode: RendererType, width: int, height: int, path_depth: int, ratio_samples: int, baked_tab=None):
     return functools.partial(
         _frame_jit,
+        baked_tab=baked_tab,
         mode=mode,
         width=width,
         height=height,
         path_depth=path_depth,
         ratio_samples=ratio_samples,
     )
+
+
+# host-side per-camera bake (see render_tile's baked_tab note)
+_bake_jit = None
+
+
+def _bake_for(bvh, camera_pos):
+    """Shared-origin baked table for ``camera_pos``, or None off the
+    cluster tier.  Jitted once; ~24 ms per camera move at 1M tris."""
+    from ..accel.traverse import PALLAS_BRUTE_MAX_TRIS, _on_cpu
+
+    if not _BAKED_MT or _on_cpu() or bvh.tri_v0.shape[0] <= PALLAS_BRUTE_MAX_TRIS:
+        return None
+    global _bake_jit
+    if _bake_jit is None:
+        from ..accel.pallas_cluster import bake_shared_origin_tab
+
+        _bake_jit = jax.jit(bake_shared_origin_tab)
+    return _bake_jit(bvh.tri_tab, camera_pos)
 
 
 class Renderer:
@@ -345,6 +366,7 @@ class Renderer:
             tri_attr=tri_attr,
         )
 
+        self._baked_tab = None  # per-camera shared-origin table (set_camera)
         self._frame = _jitted_frame_fn(
             self.mode, self.width, self.height, path_depth, ratio_samples
         )
@@ -373,7 +395,8 @@ class Renderer:
             return
         self.mode = mode
         self._frame = _jitted_frame_fn(
-            mode, self.width, self.height, self.path_depth, self.ratio_samples
+            mode, self.width, self.height, self.path_depth, self.ratio_samples,
+            baked_tab=self._baked_tab,
         )
         self.state = RenderState(
             accum=jnp.zeros((self.height, self.width, 3), jnp.float32),
@@ -391,6 +414,18 @@ class Renderer:
             accum=jnp.zeros((self.height, self.width, 3), jnp.float32),
             accum_id=jnp.asarray(0, jnp.int32),
             camera=device_cam,
+        )
+        self._rebake(device_cam)
+
+    def _rebake(self, device_cam) -> None:
+        """Refresh the per-camera shared-origin table and rebind the
+        frame partial (camera.pos is frame-invariant under progressive
+        accumulation, so the ~24 ms bake is paid per camera MOVE, never
+        per frame — benchmarks/prof_baked.py)."""
+        self._baked_tab = _bake_for(self.bvh, device_cam.pos)
+        self._frame = _jitted_frame_fn(
+            self.mode, self.width, self.height, self.path_depth,
+            self.ratio_samples, baked_tab=self._baked_tab,
         )
 
     # -- render loop ------------------------------------------------------
@@ -412,7 +447,7 @@ class Renderer:
         ratio_acc = None
         if n_scan > 0:
             self.state, ratio_acc, saux = _frames_scan_jit(
-                self.state, self.device_scene, self.bvh,
+                self.state, self.device_scene, self.bvh, self._baked_tab,
                 n=n_scan, mode=self.mode, width=self.width,
                 height=self.height, path_depth=self.path_depth,
                 ratio_samples=self.ratio_samples,
@@ -548,3 +583,4 @@ class Renderer:
                 dir_dv=jnp.asarray(z["cam_dir_dv"]),
             ),
         )
+        self._rebake(self.state.camera)
