@@ -384,7 +384,11 @@ _TWO_LEVEL_MIN_C = int(os.environ.get("OPTIX_TPU_TWO_LEVEL_MIN_C", "4096"))
 # per-lane cull analog of _SC_CAND: bounce tiles overlap ~20% of all
 # superclusters at some lane, so the cap is the same 64 by default;
 # overflow is checked identically
-_SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "64"))
+_SC_CAND_LANE = int(os.environ.get("OPTIX_TPU_SC_CAND_LANE", "128"))
+# ^ round-5 hardware sweep (benchmarks/prof_sccand.py, 1M-tri terrain
+# bounce trace): 64 -> 1677 ms with 272 unresolved tiles in the checked
+# fallback; 96 -> 1623/163; 128 -> 1562/102.  The wider level-2
+# candidate set costs less than the fallback re-traces it avoids.
 # ROW-granularity kernels (one grid step per 128-ray row) were built on
 # the ~4x-smaller-per-row-list observation, but measured STRICTLY WORSE
 # on hardware for terrain bounces: 4x-smaller lists x 8x more rows =
