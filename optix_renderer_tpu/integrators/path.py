@@ -16,6 +16,8 @@ vectorized.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,13 @@ def _clamp_dot(a, b):
 
 
 _ONEHOT_MAX_LIGHTS = 512
+
+# NEE shadow-trace ray order: corridor-sorted (True, round-4 default) or
+# image-order (False).  prof_path round 5 measured image-order FASTER on
+# the terrain bounce-1 NEE (124 vs 150 ms — bounce-1 shadow origins are
+# primary hits, already image-coherent); A/B per scene with
+# OPTIX_TPU_NEE_SORT=0 or benchmarks/prof_nee.py.
+_NEE_SORT = os.environ.get("OPTIX_TPU_NEE_SORT", "1") == "1"
 
 
 def gather_light_attrs(ds: DeviceScene, lidx: jnp.ndarray):
@@ -167,7 +176,7 @@ def path_color(
         occluded, any_stats = trace_any_with_stats(
             bvh, shadow_ray,
             t_max=jnp.where(shadow_needed, dist * (1.0 - 1e-3), 0.0),
-            refine=True, coherent=False,
+            refine=True, coherent=not _NEE_SORT,
         )
         nee_ok = shadow_needed & ~occluded
         nee = (
